@@ -1,0 +1,80 @@
+"""Headline benchmark: images/sec/chip for the circle VAE-GAN fused train step
+at 256px (the driver-defined metric, BASELINE.json).
+
+Runs the full training computation — on-device circle rendering, encoder/
+decoder/discriminator/aux forward, all five reference loss heads, gradients,
+and four RMSprop updates — as one jit-compiled XLA program on the default
+backend, and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against the measured CPU PyTorch reference throughput for
+the identical workload (tools/measure_baseline.py; see BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaeplay_tpu.data.circles import CircleDataset
+from vaeplay_tpu.models.vae_gan import VaeGan
+from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
+from vaeplay_tpu.train.steps_vae import make_circle_train_step
+from vaeplay_tpu.utils.jitting import jit_init
+
+# Measured via `python tools/measure_baseline.py --img_size 256 --batch 8
+# --steps 2` on this container's CPU (torch 5-backward reference step,
+# 99.57 s/step): 0.080 images/sec.  See BASELINE.md.
+BASELINE_CPU_IPS = 0.080
+
+IMG_SIZE = 256
+BATCH = 16
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    model = VaeGan(img_size=IMG_SIZE, z_size=128)
+    x = jnp.zeros((2, IMG_SIZE, IMG_SIZE, 1))
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x
+    )
+    tx = grouped_transform(
+        {k: torch_rmsprop(1e-4) for k in
+         ("encoder", "decoder", "discriminator", "param_encoder")},
+        variables["params"],
+    )
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    step = make_circle_train_step(model, IMG_SIZE)
+
+    ds = CircleDataset(n=IMG_SIZE, min_radius=10, data_size=BATCH * (WARMUP + STEPS), seed=0)
+    batches = list(ds.epoch_batches(BATCH))
+    rng = jax.random.PRNGKey(2)
+
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, jnp.asarray(batches[i]), sub)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, jnp.asarray(batches[WARMUP + i]), sub)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    ips = STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "images/sec/chip (VAE-GAN fused train step, 256px, bs16)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_CPU_IPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""BE family tests: backbone pyramid, compose net shapes, fused train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaeplay_tpu.data.be_data import SyntheticBubbleDataset, decode_layer_mask
+from vaeplay_tpu.models.backbone import ResNetFPN
+from vaeplay_tpu.models.be import ComposeNet
+from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
+from vaeplay_tpu.train.steps_be import make_be_train_step
+
+
+@pytest.fixture(scope="module")
+def be_state():
+    model = ComposeNet()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    tx = frozen_backbone_adam(1e-4)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx,
+        constants=variables.get("constants"),
+    )
+    return model, state
+
+
+def test_backbone_pyramid_shapes():
+    model = ResNetFPN()
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert outs["0"].shape == (1, 16, 16, 256)   # stride 4
+    assert outs["1"].shape == (1, 8, 8, 256)     # stride 8
+    assert outs["2"].shape == (1, 4, 4, 256)     # stride 16
+    assert outs["3"].shape == (1, 2, 2, 256)     # stride 32
+    assert outs["pool"].shape == (1, 1, 1, 256)
+
+
+def test_compose_net_full_resolution(be_state):
+    model, state = be_state
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    preds = model.apply(state.variables(), x, train=False)
+    # stride-4 features ×2 Up = full resolution (networks_BE.py:43-45)
+    assert preds["masks"].shape == (2, 64, 64, 1)
+    assert preds["edges"].shape == (2, 64, 64, 1)
+
+
+def test_be_train_step_and_frozen_backbone(be_state):
+    model, state = be_state
+    step = make_be_train_step(model)
+    ds = SyntheticBubbleDataset(img_size=64)
+    batch = ds.sample_batch(2)
+    stem_before = np.asarray(
+        state.params["feature_net"]["backbone"]["body"]["conv1"]["kernel"]
+    )
+    layer2_before = np.asarray(
+        jax.tree_util.tree_leaves(
+            state.params["feature_net"]["backbone"]["body"]["layer2_block0"]
+        )[0]
+    )
+    state, metrics = step(
+        state, jnp.asarray(batch["imgs"]), jnp.asarray(batch["bimgs"]),
+        jnp.asarray(batch["eimgs"]),
+    )
+    assert np.isfinite(float(metrics["loss_edge"]))
+    assert np.isfinite(float(metrics["loss_mask"]))
+    stem_after = np.asarray(
+        state.params["feature_net"]["backbone"]["body"]["conv1"]["kernel"]
+    )
+    layer2_after = np.asarray(
+        jax.tree_util.tree_leaves(
+            state.params["feature_net"]["backbone"]["body"]["layer2_block0"]
+        )[0]
+    )
+    # torchvision trainable_layers=3: stem/layer1 frozen, layer2+ train
+    np.testing.assert_array_equal(stem_before, stem_after)
+    assert np.abs(layer2_after - layer2_before).max() > 0
+
+
+def test_decode_layer_mask():
+    m = np.zeros((4, 4, 3), np.uint8)
+    m[0, 0] = (255, 255, 255)  # white bg → cleared
+    m[1, 1] = (255, 0, 0)      # content
+    m[2, 2] = (0, 255, 0)      # edge
+    b, e = decode_layer_mask(m)
+    assert b[0, 0] == 0 and e[0, 0] == 0
+    assert b[1, 1] == 1.0 and e[1, 1] == 0.0
+    assert b[2, 2] == 0.0 and e[2, 2] == 1.0

@@ -1,0 +1,122 @@
+"""End-to-end tests for the circle VAE-GAN: shapes, train step, DP sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vaeplay_tpu.data.circles import CircleDataset, encode_targets
+from vaeplay_tpu.models.vae_gan import VaeGan
+from vaeplay_tpu.ops.geometry import render_circle_batch
+from vaeplay_tpu.parallel.mesh import create_mesh, shard_batch, replicate
+from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
+from vaeplay_tpu.train.steps_vae import make_train_step
+
+
+IMG = 64  # keep tests fast: iter_level = 3
+
+
+def make_state(img_size=IMG, batch=2):
+    model = VaeGan(img_size=img_size, z_size=32)
+    x = jnp.zeros((batch, img_size, img_size, 1))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, x
+    )
+    tx = grouped_transform(
+        {
+            "encoder": torch_rmsprop(1e-4),
+            "decoder": torch_rmsprop(1e-4),
+            "discriminator": torch_rmsprop(1e-4),
+            "param_encoder": torch_rmsprop(1e-4),
+        },
+        variables["params"],
+    )
+    state = TrainState.create(model.apply, variables["params"], variables["batch_stats"], tx)
+    return model, state
+
+
+def test_forward_shapes():
+    model, state = make_state()
+    b = 2
+    x = jax.random.uniform(jax.random.PRNGKey(2), (b, IMG, IMG, 1))
+    outs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=True, rngs={"noise": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )[0]
+    x_tilde, disc_class, disc_layer, mus, logvar, params = outs
+    assert x_tilde.shape == (b, IMG, IMG, 1)
+    assert disc_class.shape == (3 * b, 1)
+    assert disc_layer.shape[0] == 3 * b
+    assert mus.shape == (b, 32) and logvar.shape == (b, 32)
+    assert params.shape == (b, 3)
+    assert float(jnp.min(x_tilde)) >= 0.0 and float(jnp.max(x_tilde)) <= 1.0
+    assert float(jnp.min(disc_class)) >= 0.0 and float(jnp.max(disc_class)) <= 1.0
+
+
+def test_train_step_decreases_recon():
+    model, state = make_state()
+    step = make_train_step(model)
+    ds = CircleDataset(n=IMG, min_radius=8, data_size=64, seed=0)
+    params_batch = next(ds.epoch_batches(8))
+    targets = encode_targets(IMG, params_batch)
+    imgs = render_circle_batch(
+        IMG, jnp.asarray(params_batch[:, 0]), jnp.asarray(params_batch[:, 1]),
+        jnp.asarray(params_batch[:, 2]),
+    )
+    rng = jax.random.PRNGKey(0)
+    first = None
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, imgs, targets, sub)
+        if first is None:
+            first = float(metrics["loss_recon"])
+    last = float(metrics["loss_recon"])
+    assert np.isfinite(last)
+    assert last < first * 1.5  # not diverging on a tiny fixed batch
+    assert int(state.step) == 10
+
+
+def test_grads_flow_to_all_groups():
+    model, state = make_state()
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, IMG, IMG, 1))
+    targets = jnp.zeros((2, 3))
+
+    from vaeplay_tpu.train.steps_vae import vae_gan_losses
+
+    def total_loss(params):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, rngs={"noise": jax.random.PRNGKey(6)},
+            mutable=["batch_stats"],
+        )
+        m = vae_gan_losses(outs, x, targets)
+        return (m["loss_recon"] + m["loss_encoder"] + m["loss_decoder"]
+                + m["loss_discriminator"] + m["loss_aux"])
+
+    grads = jax.grad(total_loss)(state.params)
+    for group in ("encoder", "decoder", "discriminator", "param_encoder"):
+        gnorm = optax.global_norm(grads[group])
+        assert float(gnorm) > 0.0, f"no gradient reached {group}"
+
+
+def test_dp_sharded_step(eight_devices):
+    """The fused step runs under an 8-way data-parallel mesh (virtual CPU)."""
+    model, state = make_state(batch=8)
+    step = make_train_step(model)
+    mesh = create_mesh()
+    state = replicate(mesh, state)
+    ds = CircleDataset(n=IMG, min_radius=8, data_size=64, seed=1)
+    pb = next(ds.epoch_batches(8))
+    targets = encode_targets(IMG, pb)
+    imgs = render_circle_batch(
+        IMG, jnp.asarray(pb[:, 0]), jnp.asarray(pb[:, 1]), jnp.asarray(pb[:, 2])
+    )
+    imgs, targets = shard_batch(mesh, (np.asarray(imgs), np.asarray(targets)))
+    state, metrics = step(state, imgs, targets, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_recon"]))
+    # params stay replicated after the step
+    enc_leaf = jax.tree_util.tree_leaves(state.params["encoder"])[0]
+    assert enc_leaf.sharding.is_fully_replicated

@@ -1,0 +1,139 @@
+"""Circle VAE-GAN trainer CLI — rebuild of reference train.py.
+
+Flags mirror the reference vocabulary (train.py:109-123); `--gpu` is accepted
+for CLI compatibility and ignored (device placement is mesh-driven).  The
+per-batch work — circle rendering, target encoding, forward, all five loss
+heads, and four RMSprop updates — is ONE jit-compiled XLA program, sharded
+batch-parallel over every available device.
+"""
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaeplay_tpu.data.circles import CircleDataset
+from vaeplay_tpu.models.vae_gan import VaeGan
+from vaeplay_tpu.ops.geometry import decode_circle_param, render_circle_batch
+from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from vaeplay_tpu.train.checkpoint import Checkpointer, make_run_dir
+from vaeplay_tpu.train.metrics import accumulating, fetch_averages
+from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
+from vaeplay_tpu.train.steps_vae import make_circle_train_step, make_eval_step
+from vaeplay_tpu.utils.jitting import jit_init
+from vaeplay_tpu.utils.viz import makedirs, save_image_grid
+
+AVG_KEYS = ("loss_recon", "loss_encoder", "loss_decoder", "loss_discriminator", "loss_aux")
+
+
+def build_state(args) -> tuple:
+    model = VaeGan(img_size=args.img_size, z_size=args.zdim)
+    x = jnp.zeros((2, args.img_size, args.img_size, 1))
+    variables = jit_init(
+        model,
+        {"params": jax.random.PRNGKey(args.seed), "noise": jax.random.PRNGKey(args.seed + 1)}, x,
+    )
+    # four RMSprop(1e-4) optimizers over disjoint subsets (train.py:136-146)
+    lr = args.lr
+    tx = grouped_transform(
+        {
+            "encoder": torch_rmsprop(lr),
+            "decoder": torch_rmsprop(lr),
+            "discriminator": torch_rmsprop(lr),
+            "param_encoder": torch_rmsprop(lr),
+        },
+        variables["params"],
+    )
+    state = TrainState.create(model.apply, variables["params"], variables["batch_stats"], tx)
+    return model, state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU circle VAE-GAN trainer")
+    parser.add_argument("--epoch", type=int, dest="epochs", default=20)
+    parser.add_argument("--batchsize", type=int, dest="batchsize", default=16)
+    parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
+    parser.add_argument("--img_size", type=int, dest="img_size", default=128)
+    parser.add_argument("--zdim", type=int, dest="zdim", default=128)
+    parser.add_argument("--lr", type=float, dest="lr", default=1e-4)
+    parser.add_argument("--res_output", type=str, dest="res_output", default="./results")
+    parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
+    parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=16)
+    parser.add_argument("--data_size", type=int, dest="data_size", default=4096)
+    parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None)
+    args = parser.parse_args(argv)
+
+    makedirs(args.res_output)
+    run_dir = make_run_dir(args.model_output, "VAE")
+    ckpt = Checkpointer(run_dir)
+
+    model, state = build_state(args)
+    mesh = create_mesh()
+    state = replicate(mesh, state)
+    step = make_circle_train_step(model, args.img_size)
+
+    ds = CircleDataset(n=args.img_size, min_radius=10, data_size=args.data_size, seed=args.seed)
+    rng = jax.random.PRNGKey(args.seed + 2)
+
+    start_epoch = 0
+    if args.resume:
+        rckpt = Checkpointer(args.resume)
+        tag = rckpt.latest()
+        restored = rckpt.restore(tag, template=jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step}))
+        state = state.replace(**restored)
+        start_epoch = tag + 1
+
+    eval_step = make_eval_step(model)
+    astep = accumulating(step)
+    for epoch in range(start_epoch, args.epochs):
+        acc, cnt = None, None
+        t0 = time.perf_counter()
+        seen = 0
+        for i, pb in enumerate(ds.epoch_batches(args.batchsize, epoch_seed=epoch)):
+            rng, sub = jax.random.split(rng)
+            pb_dev = shard_batch(mesh, pb)
+            # metrics accumulate on device; the host only syncs at viz_freq
+            state, acc, cnt = astep(state, acc, cnt, pb_dev, sub)
+            seen += pb.shape[0]
+
+            if (i + 1) % args.viz_freq == 0:
+                avg = fetch_averages(acc, cnt)
+                dt = time.perf_counter() - t0
+                print(f"epoch {epoch} it {i+1}: "
+                      + " ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS)
+                      + f" | {seen/dt:.1f} img/s")
+                # comparison grid: input | reconstruction | render(decoded params)
+                imgs = render_circle_batch(
+                    args.img_size, jnp.asarray(pb[:, 0]), jnp.asarray(pb[:, 1]),
+                    jnp.asarray(pb[:, 2]),
+                )
+                rng, sub = jax.random.split(rng)
+                x_tilde, pred_params = eval_step(state, imgs, sub)
+                dec = decode_circle_param(
+                    args.img_size, pred_params[:, 0], pred_params[:, 1], pred_params[:, 2]
+                )
+                from_params = render_circle_batch(
+                    args.img_size, dec["radius"], dec["x"], dec["y"]
+                )
+                grid = np.concatenate(
+                    [np.asarray(imgs), np.asarray(x_tilde), np.asarray(from_params)], axis=0
+                )
+                save_image_grid(
+                    grid, os.path.join(args.res_output, f"{epoch}_{i}.png"),
+                    nrow=pb.shape[0], padding=2, pad_value=1.0,
+                )
+        ckpt.save(epoch, {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step,
+        })
+        print(f"epoch {epoch} done; checkpoint → {ckpt.path(epoch)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,283 @@
+"""Shared layer library (L1) — TPU-native rebuild of reference models/blocks.py.
+
+Conventions (deliberately different from the torch reference):
+  * NHWC activations / HWIO kernels everywhere — XLA's native TPU conv layout.
+  * flax.linen modules; batch-norm state lives in the `batch_stats` collection
+    and `train: bool` is threaded through `__call__`.
+  * Under pjit data-parallel sharding, batch-norm reductions become global
+    (sync-BN) automatically — reductions over the batch axis are compiled to
+    ICI collectives by XLA.
+
+Reference semantics reproduced (citations into /root/reference):
+  ConvBlock            models/blocks.py:5-34   (pad=(k-1)//2, bias iff no norm,
+                                                relu / lrelu(0.02) / tanh)
+  DenseBlock           models/blocks.py:36-50  (lrelu slope 0.2)
+  SCSEBlock            models/blocks.py:52-65
+  SelfAttentionBlock   models/blocks.py:67-95  (SAGAN; q/k/v are 1x1 ConvBlocks
+                                                with default ReLU, learned gamma=0)
+  AddCoords            models/blocks.py:97-112
+  Down                 models/blocks.py:114-127
+  Up                   models/blocks.py:129-146 (2x [conv3x3+BN+relu], bilinear x2)
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vaeplay_tpu.core import init as vinit
+from vaeplay_tpu.ops.attention import spatial_self_attention
+
+
+def apply_activation(x: jnp.ndarray, activate: Optional[str], lrelu_slope: float):
+    if activate is None:
+        return x
+    if activate == "relu":
+        return nn.relu(x)
+    if activate == "lrelu":
+        return nn.leaky_relu(x, negative_slope=lrelu_slope)
+    if activate == "tanh":
+        return nn.tanh(x)
+    if activate == "sigmoid":
+        return nn.sigmoid(x)
+    raise ValueError(f"unknown activation {activate!r}")
+
+
+class ConvBlock(nn.Module):
+    """conv(k, stride, pad=(k-1)//2) [+ batch/instance norm] [+ activation].
+
+    Matches reference models/blocks.py:5-34: bias only when there is no norm;
+    LeakyReLU slope 0.02; torch BN defaults (eps 1e-5, momentum 0.1 → flax 0.9);
+    torch InstanceNorm2d defaults (no affine).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    bn: Optional[str] = None  # None | "batch" | "instance"
+    activate: Optional[str] = "relu"
+    bn_momentum: float = 0.9  # flax convention: running = m*running + (1-m)*batch
+    lrelu_slope: float = 0.02
+    kernel_init: nn.initializers.Initializer = vinit.conv_kaiming
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        p = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.bn is None,
+            kernel_init=self.kernel_init,
+            bias_init=vinit.zeros,
+            name="conv",
+        )(x)
+        if self.bn == "batch":
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-5,
+                name="norm",
+            )(x)
+        elif self.bn == "instance":
+            # torch InstanceNorm2d default: affine=False, track_running_stats=False
+            x = nn.GroupNorm(
+                num_groups=None,
+                group_size=1,
+                epsilon=1e-5,
+                use_bias=False,
+                use_scale=False,
+                name="norm",
+            )(x)
+        elif self.bn is not None:
+            raise ValueError(f"unknown norm {self.bn!r}")
+        return apply_activation(x, self.activate, self.lrelu_slope)
+
+
+class ConvTransposeBlock(nn.Module):
+    """Torch-semantics ConvTranspose2d(k, stride, padding, output_padding).
+
+    Implemented as an input-dilated conv with explicit padding
+    (k-1-p, k-1-p+op) so output sizes and values match torch exactly:
+    out = (in-1)*s - 2p + k + op.  Used by the VAE decoder
+    (reference models/networks.py:34-46) and Style_GAN's StyleUp.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: Optional[int] = None  # default (k-1)//2, torch-style
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = vinit.conv_kaiming
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s = self.kernel_size, self.stride
+        p = (k - 1) // 2 if self.padding is None else self.padding
+        op = self.output_padding
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
+        )
+        lo, hi = k - 1 - p, k - 1 - p + op
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", vinit.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class DenseBlock(nn.Module):
+    """linear [+ activation]; LeakyReLU slope 0.2 (reference blocks.py:36-50)."""
+
+    features: int
+    use_bias: bool = True
+    activate: Optional[str] = "relu"
+    kernel_init: nn.initializers.Initializer = vinit.dense_kaiming
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=vinit.zeros,
+            name="fc",
+        )(x)
+        return apply_activation(x, self.activate, lrelu_slope=0.2)
+
+
+class SCSEBlock(nn.Module):
+    """Concurrent spatial & channel squeeze-excite (reference blocks.py:52-65)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        # channel SE: global avg pool → 1x1 conv bottleneck → sigmoid gate
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(c // self.reduction, (1, 1), kernel_init=vinit.conv_kaiming,
+                     bias_init=vinit.zeros, name="cse_reduce")(se)
+        se = nn.relu(se)
+        se = nn.Conv(c, (1, 1), kernel_init=vinit.conv_kaiming,
+                     bias_init=vinit.zeros, name="cse_expand")(se)
+        cse = nn.sigmoid(se)
+        # spatial SE: 1x1 conv to a single sigmoid map
+        sse = nn.Conv(1, (1, 1), kernel_init=vinit.conv_kaiming,
+                      bias_init=vinit.zeros, name="sse")(x)
+        sse = nn.sigmoid(sse)
+        return x * cse + x * sse
+
+
+class SelfAttentionBlock(nn.Module):
+    """SAGAN-style spatial self-attention (reference blocks.py:67-95).
+
+    q/k/v are 1x1 ConvBlocks *with the default ReLU* (the reference passes
+    `Conv2d(c, c//8, 1)` whose default activate='relu'); the attention output
+    is scaled by a learned scalar gamma initialised to 0 and added residually.
+    The O(N^2) bmm pair runs through ops.attention.spatial_self_attention,
+    which dispatches to a Pallas blockwise kernel on TPU.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        q = ConvBlock(max(c // 8, 1), 1, name="q")(x, train=train)
+        k = ConvBlock(max(c // 8, 1), 1, name="k")(x, train=train)
+        v = ConvBlock(c, 1, name="v")(x, train=train)
+        n = h * w
+        out = spatial_self_attention(
+            q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, c)
+        ).reshape(b, h, w, c)
+        gamma = self.param("gamma", vinit.zeros, (1,))
+        return gamma * out + x
+
+
+class PointSelfAttentionBlock(nn.Module):
+    """SelfAttentionBlock over a point set (B, N, C) instead of a feature map.
+
+    The reference reuses SelfAttentionBlock on (B, C, N, 1)-shaped tensors for
+    contour/ellipse point features (networks_BCP.py:80-84, networks_BP.py:84-88);
+    this is the same computation expressed natively on (B, N, C).
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        b, n, c = x.shape
+        x4 = x.reshape(b, n, 1, c)
+        q = ConvBlock(max(c // 8, 1), 1, name="q")(x4, train=train).reshape(b, n, -1)
+        k = ConvBlock(max(c // 8, 1), 1, name="k")(x4, train=train).reshape(b, n, -1)
+        v = ConvBlock(c, 1, name="v")(x4, train=train).reshape(b, n, c)
+        out = spatial_self_attention(q, k, v)
+        gamma = self.param("gamma", vinit.zeros, (1,))
+        return gamma * out + x
+
+
+def add_coords(x: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+    """Append x/y coordinate channels (reference blocks.py:97-112).
+
+    Channel order matches the reference: [features, i (along width), j (along
+    height)]; unnormalized coords are raw 0..w-1 / 0..h-1 floats, normalized
+    coords are (c/size - 0.5)/0.5 ∈ [-1, 1).
+    """
+    b, h, w, _ = x.shape
+    ii = jnp.broadcast_to(jnp.arange(w, dtype=x.dtype)[None, None, :, None], (b, h, w, 1))
+    jj = jnp.broadcast_to(jnp.arange(h, dtype=x.dtype)[None, :, None, None], (b, h, w, 1))
+    if normalize:
+        ii = (ii / w - 0.5) / 0.5
+        jj = (jj / h - 0.5) / 0.5
+    return jnp.concatenate([x, ii, jj], axis=-1)
+
+
+class AddCoords(nn.Module):
+    if_normalize: bool = False
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return add_coords(x, normalize=self.if_normalize)
+
+
+class Down(nn.Module):
+    """[AddCoords] + stride-2 ConvBlock (reference blocks.py:114-127)."""
+
+    features: int
+    kernel_size: int
+    if_add_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.if_add_coord:
+            x = add_coords(x)
+        return ConvBlock(self.features, self.kernel_size, stride=2, name="conv")(
+            x, train=train
+        )
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample, torch align_corners=False (half-pixel) semantics."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+class Up(nn.Module):
+    """[AddCoords] + 2x(conv3x3+BN+relu) + bilinear 2x (reference blocks.py:129-146)."""
+
+    features: int
+    if_add_coord: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.if_add_coord:
+            x = add_coords(x)
+        x = ConvBlock(self.features, 3, bn="batch", name="conv1")(x, train=train)
+        x = ConvBlock(self.features, 3, bn="batch", name="conv2")(x, train=train)
+        return upsample2x_bilinear(x)

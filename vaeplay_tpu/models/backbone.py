@@ -1,0 +1,210 @@
+"""ResNet50 + FPN backbone — flax rebuild of torchvision's
+`resnet_fpn_backbone('resnet50', pretrained=True)` used by the BE/BC/BE_GAN
+feature nets (reference networks_BE.py:16, networks_BC.py:83,
+networks_BE_GAN.py:44).
+
+Faithful points:
+  * Bottleneck layout, strides, and the FPN top-down pathway with nearest
+    upsampling; levels "0".."3" at strides 4/8/16/32 with 256 channels.
+  * FrozenBatchNorm semantics: backbone norm layers are affine transforms
+    with *stored* (non-trainable) statistics, kept in the "constants"
+    collection — matching torchvision's FrozenBatchNorm2d.
+  * torchvision's default trainable_layers=3 (conv1 + layer1 frozen) is
+    honored by the trainer via the `FROZEN_PREFIXES` optimizer mask.
+  * `convert_torchvision_state_dict` transplants a torchvision checkpoint
+    (when the user supplies one; this environment has no pretrained weights)
+    into the flax param/constant trees.
+
+The reference feature nets consume only level "0" (stride 4,
+networks_BE.py:35); `ResNetFPN.__call__` returns all pyramid levels and
+callers pick what they need.
+"""
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vaeplay_tpu.core import init as vinit
+from vaeplay_tpu.ops.image import max_pool
+
+# param subtrees frozen by torchvision's trainable_layers=3 default
+FROZEN_PREFIXES = ("conv1", "layer1")
+
+
+class FrozenBatchNorm(nn.Module):
+    """Affine y = (x - mean) * scale / sqrt(var + eps) + bias with all four
+    tensors stored as non-trainable constants (torchvision FrozenBatchNorm2d,
+    eps 1e-5 via the resnet default 0.0 + torchvision uses eps=1e-5)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.variable("constants", "scale", jnp.ones, (self.features,))
+        bias = self.variable("constants", "bias", jnp.zeros, (self.features,))
+        mean = self.variable("constants", "mean", jnp.zeros, (self.features,))
+        var = self.variable("constants", "var", jnp.ones, (self.features,))
+        inv = scale.value * jax.lax.rsqrt(var.value + self.eps)
+        return x * inv + (bias.value - mean.value * inv)
+
+
+class Bottleneck(nn.Module):
+    """torchvision resnet Bottleneck: 1x1 → 3x3(stride) → 1x1(x4) + skip."""
+
+    features: int  # width of the 3x3 conv; output is features * 4
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=vinit.conv_kaiming, name="conv1")(x)
+        y = FrozenBatchNorm(self.features, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    kernel_init=vinit.conv_kaiming, name="conv2")(y)
+        y = FrozenBatchNorm(self.features, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    kernel_init=vinit.conv_kaiming, name="conv3")(y)
+        y = FrozenBatchNorm(self.features * 4, name="bn3")(y)
+        if self.downsample:
+            identity = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride, self.stride), use_bias=False,
+                               kernel_init=vinit.conv_kaiming, name="down_conv")(x)
+            identity = FrozenBatchNorm(self.features * 4, name="down_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet50(nn.Module):
+    """Returns C2..C5 feature maps (strides 4, 8, 16, 32)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, kernel_init=vinit.conv_kaiming, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool(x, 3, stride=2, padding=1)
+        feats = []
+        for li, (width, blocks, stride) in enumerate(
+            [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], start=1
+        ):
+            for bi in range(blocks):
+                x = Bottleneck(
+                    width,
+                    stride=stride if bi == 0 else 1,
+                    downsample=(bi == 0),
+                    name=f"layer{li}_block{bi}",
+                )(x)
+            feats.append(x)
+        return feats
+
+
+class FPN(nn.Module):
+    """torchvision FeaturePyramidNetwork: 1x1 laterals + top-down nearest
+    upsample + 3x3 output convs, 256 channels."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), kernel_init=vinit.conv_kaiming,
+                    bias_init=vinit.zeros, name=f"inner{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        # top-down: start from the deepest level
+        merged = [None] * len(laterals)
+        merged[-1] = laterals[-1]
+        for i in range(len(laterals) - 2, -1, -1):
+            up = jax.image.resize(
+                merged[i + 1],
+                laterals[i].shape[:1] + laterals[i].shape[1:3] + merged[i + 1].shape[3:],
+                method="nearest",
+            )
+            merged[i] = laterals[i] + up
+        outs = {
+            str(i): nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                            kernel_init=vinit.conv_kaiming, bias_init=vinit.zeros,
+                            name=f"layer{i}")(m)
+            for i, m in enumerate(merged)
+        }
+        outs["pool"] = max_pool(outs["3"], 1, stride=2, padding=0)
+        return outs
+
+
+class ResNetFPN(nn.Module):
+    """resnet_fpn_backbone('resnet50') equivalent; out_channels = 256."""
+
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        feats = ResNet50(name="body")(x)
+        return FPN(out_channels=self.out_channels, name="fpn")(feats)
+
+
+# ---------------------------------------------------------------------------
+# torchvision weight conversion
+
+
+def convert_torchvision_state_dict(
+    state_dict: Dict[str, "np.ndarray"], params: Dict, constants: Dict
+) -> None:
+    """Transplant a torchvision resnet50 state_dict (tensor name → numpy
+    OIHW/1D arrays) into ResNetFPN param/constant trees IN PLACE (the trees
+    must be plain nested dicts, e.g. from flax.core.unfreeze).
+
+    Accepts either raw `resnet50` keys (conv1.weight, layer1.0.conv1.weight...)
+    or `backbone.body.*` / `backbone.fpn.*` prefixed keys from a detection
+    checkpoint.
+    """
+
+    def strip(k: str) -> str:
+        for pre in ("backbone.body.", "backbone.fpn.", "body.", "fpn."):
+            if k.startswith(pre):
+                return k[len(pre):]
+        return k
+
+    def conv_w(v):  # OIHW → HWIO
+        return jnp.asarray(np.transpose(v, (2, 3, 1, 0)))
+
+    sd = {strip(k): np.asarray(v) for k, v in state_dict.items()}
+    body_p, body_c = params["body"], constants["body"]
+
+    def put_bn(tree_c, prefix):
+        tree_c["scale"] = jnp.asarray(sd[f"{prefix}.weight"])
+        tree_c["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        tree_c["mean"] = jnp.asarray(sd[f"{prefix}.running_mean"])
+        tree_c["var"] = jnp.asarray(sd[f"{prefix}.running_var"])
+
+    if "conv1.weight" in sd:
+        body_p["conv1"]["kernel"] = conv_w(sd["conv1.weight"])
+        put_bn(body_c["bn1"], "bn1")
+        for li, blocks in enumerate([3, 4, 6, 3], start=1):
+            for bi in range(blocks):
+                src = f"layer{li}.{bi}"
+                dst = f"layer{li}_block{bi}"
+                for ci in (1, 2, 3):
+                    body_p[dst][f"conv{ci}"]["kernel"] = conv_w(sd[f"{src}.conv{ci}.weight"])
+                    put_bn(body_c[dst][f"bn{ci}"], f"{src}.bn{ci}")
+                if f"{src}.downsample.0.weight" in sd:
+                    body_p[dst]["down_conv"]["kernel"] = conv_w(sd[f"{src}.downsample.0.weight"])
+                    put_bn(body_c[dst]["down_bn"], f"{src}.downsample.1")
+    # FPN weights (present in detection checkpoints)
+    fpn_p = params["fpn"]
+    for i in range(4):
+        for src, dst in ((f"inner_blocks.{i}", f"inner{i}"), (f"layer_blocks.{i}", f"layer{i}")):
+            wk, bk = f"{src}.weight", f"{src}.bias"
+            if wk not in sd:
+                wk, bk = f"{src}.0.weight", f"{src}.0.bias"  # newer torchvision
+            if wk in sd:
+                fpn_p[dst]["kernel"] = conv_w(sd[wk])
+                fpn_p[dst]["bias"] = jnp.asarray(sd[bk])

@@ -1,0 +1,65 @@
+"""BE — bubble content/boundary mask segmentation.
+
+Rebuild of reference models/networks_BE.py: a resnet50-FPN feature net
+(level "0", stride 4) with a 256→32 conv chain, and twin Up-Up-predictor
+heads producing full-resolution mask and edge logits.
+
+  FeatureNet   networks_BE.py:13-37  (aux chain: log2(256/32)=3 × [1x1 C→C/2
+                                      +BN+relu, 3x3 C/2→C/2+BN+relu])
+  MaskNet      networks_BE.py:39-58  (Up(+coords) ×2 then three 3x3 convs
+                                      with no norm/activation)
+  EdgeNet      networks_BE.py:60-66  (same architecture as MaskNet)
+  ComposeNet   networks_BE.py:68-90  → {"edges", "masks"} logits, full res
+"""
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vaeplay_tpu.core.layers import ConvBlock, Up
+from vaeplay_tpu.models.backbone import ResNetFPN
+
+
+class FeatureNet(nn.Module):
+    target_out_channels: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        feats = ResNetFPN(name="backbone")(x)
+        y = feats["0"]  # stride 4 (networks_BE.py:35)
+        c = y.shape[-1]
+        i = 0
+        while c > self.target_out_channels:
+            y = ConvBlock(c // 2, 1, bn="batch", name=f"aux{i}a")(y, train=train)
+            y = ConvBlock(c // 2, 3, bn="batch", name=f"aux{i}b")(y, train=train)
+            c //= 2
+            i += 1
+        return y
+
+
+class MaskNet(nn.Module):
+    in_channel: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        c = self.in_channel
+        x = Up(c // 4, if_add_coord=True, name="up1")(x, train=train)
+        x = Up(c // 8, if_add_coord=True, name="up2")(x, train=train)
+        x = ConvBlock(c // 4, 3, activate=None, name="pred1")(x, train=train)
+        x = ConvBlock(c // 8, 3, activate=None, name="pred2")(x, train=train)
+        x = ConvBlock(1, 3, activate=None, name="pred3")(x, train=train)
+        return x
+
+
+class EdgeNet(MaskNet):
+    pass
+
+
+class ComposeNet(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
+        feature = FeatureNet(name="feature_net")(x, train=train)
+        mask_out = MaskNet(name="mask_net")(feature, train=train)
+        edge_out = EdgeNet(name="edge_net")(feature, train=train)
+        return {"edges": edge_out, "masks": mask_out}

@@ -1,0 +1,90 @@
+"""Image ops: resize wrappers with torch semantics and batched grid-sample.
+
+The reference's per-image `F.grid_sample` python loops (networks_BP.py:202-227,
+networks_BC.py:55-78) become one batched gather here — a single fused XLA op
+instead of B kernel launches.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC bilinear resize, torch align_corners=False (half-pixel) semantics."""
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="nearest")
+
+
+def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
+    """img: (H, W, C); ix/iy: (N,) int indices (already clipped). → (N, C)"""
+    return img[iy, ix]
+
+
+def grid_sample(
+    feat: jnp.ndarray,   # (B, H, W, C)
+    grid: jnp.ndarray,   # (B, N, 2) normalized coords in [-1, 1], (x, y) order
+    align_corners: bool = False,
+    padding_zero: bool = True,
+) -> jnp.ndarray:
+    """Bilinear grid sample at a set of points — torch F.grid_sample semantics
+    for mode='bilinear' with a (B, 1, N, 2)-style grid, returning (B, N, C).
+    """
+    b, h, w, c = feat.shape
+    x, y = grid[..., 0], grid[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+
+    def corner(xc, yc):
+        inb = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        vals = jax.vmap(_gather_2d)(feat, xi, yi)  # (B, N, C)
+        if padding_zero:
+            vals = vals * inb[..., None].astype(vals.dtype)
+        return vals
+
+    v00 = corner(x0, y0)
+    v01 = corner(x0 + 1, y0)
+    v10 = corner(x0, y0 + 1)
+    v11 = corner(x0 + 1, y0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def avg_pool(x: jnp.ndarray, window: int, stride: int = None) -> jnp.ndarray:
+    """NHWC average pool (torch AvgPool2d, no padding)."""
+    stride = stride or window
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID",
+    ) / float(window * window)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int = None, padding: int = 0) -> jnp.ndarray:
+    """NHWC max pool (torch MaxPool2d semantics with symmetric int padding)."""
+    stride = stride or window
+    pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), pad,
+    )

@@ -1,0 +1,58 @@
+"""Fused train step for the BE segmentation family (reference train_BE.py).
+
+Loss (train_BE.py:58-60): per head (mask, edge)
+  0.5 * BCEWithLogits(pred, target) + dice(sigmoid(pred), target)
+optimized with Adam(lr) over every parameter except the torchvision-frozen
+backbone stem/layer1 (resnet_fpn_backbone trainable_layers=3 default).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from vaeplay_tpu.ops import losses as L
+from vaeplay_tpu.train.state import TrainState
+
+
+def make_be_train_step(model):
+    """jit (state, imgs, bimgs, eimgs) -> (state, metrics).
+
+    imgs: (B, H, W, 3); bimgs/eimgs: (B, H, W, 1) binary targets.
+    """
+
+    def loss_fn(params, batch_stats, constants, imgs, bimgs, eimgs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
+        preds, mut = model.apply(
+            variables, imgs, train=True, mutable=["batch_stats"]
+        )
+        loss_edge = L.mask_edge_losses(preds["edges"], eimgs)
+        loss_mask = L.mask_edge_losses(preds["masks"], bimgs)
+        total = loss_edge + loss_mask
+        return total, ({"loss_edge": loss_edge, "loss_mask": loss_mask},
+                       mut["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, imgs, bimgs, eimgs):
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.constants, imgs, bimgs, eimgs
+        )
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_be_eval_step(model):
+    @jax.jit
+    def eval_step(state: TrainState, imgs):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.constants:
+            variables["constants"] = state.constants
+        preds = model.apply(variables, imgs, train=False)
+        return {
+            "edges": jax.nn.sigmoid(preds["edges"]),
+            "masks": jax.nn.sigmoid(preds["masks"]),
+        }
+
+    return eval_step
