@@ -1,0 +1,135 @@
+"""BC trainer CLI — rebuild of reference train_BC.py.
+
+Defaults match the reference (train_BC.py:90-103): 256px, batch 32, 20
+epochs, <=256 contour points, Adam 1e-4 + StepLR(10, 0.5); checkpoints only
+from epoch 10 on (train_BC.py:134)."""
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vaeplay_tpu.data.bc_data import BCDataset, SyntheticBCDataset
+from vaeplay_tpu.models.bc import ComposeNet
+from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.metrics import accumulating, fetch_averages
+from vaeplay_tpu.train.state import TrainState, path_labeled_transform
+from vaeplay_tpu.ops.contour import batch_find_contours
+from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step
+from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
+from vaeplay_tpu.utils.viz import makedirs
+
+AVG_KEYS = ("loss_edge", "loss_mask", "loss_regress")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU BC (contour refine) trainer")
+    parser.add_argument("--path", type=str, dest="path", default=None)
+    parser.add_argument("--lr", type=float, dest="lr", default=1e-4)
+    parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
+    parser.add_argument("--epoch", type=int, dest="epochs", default=20)
+    parser.add_argument("--batchsize", type=int, dest="batchsize", default=32)
+    parser.add_argument("--workers", type=int, dest="workers", default=0)
+    parser.add_argument("--img_size", type=int, dest="img_size", default=256)
+    parser.add_argument("--max_points", type=int, dest="max_points", default=256)
+    parser.add_argument("--res_output", type=str, dest="res_output", default="./results")
+    parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
+    parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=10)
+    parser.add_argument("--iterations", type=int, dest="iterations", default=64,
+                        help="iterations per epoch for the synthetic dataset")
+    parser.add_argument("--seed", type=int, dest="seed", default=0)
+    args = parser.parse_args(argv)
+
+    dest_name = os.path.join("BC", datetime.now().strftime("%Y%m%d-%H%M%S"))
+    args.res_output = os.path.join(args.res_output, dest_name)
+    args.model_output = os.path.join(args.model_output, dest_name)
+    makedirs(args.res_output)
+    makedirs(args.model_output)
+    with open(os.path.join(args.model_output, "record.txt"), "w") as f:
+        for arg in vars(args):
+            f.write("{:35}{:20}\n".format(arg, str(getattr(args, arg))))
+
+    model = ComposeNet(max_points=args.max_points)
+    x = jnp.zeros((1, args.img_size, args.img_size, 3))
+    variables = jit_init(model, {"params": jax.random.PRNGKey(args.seed)}, x)
+
+    if args.path:
+        dset = BCDataset(args.path, (args.img_size, args.img_size),
+                         max_points=args.max_points)
+        iters_per_epoch = max(len(dset) // args.batchsize, 1)
+    else:
+        print("no --path given; using the synthetic BC dataset")
+        dset = SyntheticBCDataset(
+            img_size=args.img_size, max_points=args.max_points,
+            data_size=args.iterations * args.batchsize,
+        )
+        iters_per_epoch = args.iterations
+
+    # Adam + StepLR(10, 0.5) per epoch, frozen backbone stem/layer1
+    def lr_schedule(step):
+        epoch = step // iters_per_epoch
+        return args.lr * (0.5 ** (epoch // 10))
+
+    def label(path):
+        parts = [str(p) for p in path]
+        if "body" in parts:
+            i = parts.index("body")
+            nxt = parts[i + 1] if i + 1 < len(parts) else ""
+            if nxt == "conv1" or nxt.startswith("layer1_"):
+                return "frozen"
+        return "train"
+
+    tx = path_labeled_transform(
+        label, {"train": optax.adam(lr_schedule), "frozen": optax.set_to_zero()},
+        variables["params"],
+    )
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx,
+        constants=variables.get("constants"),
+    )
+    mesh = create_mesh()
+    state = replicate(mesh, state)
+    external = not supports_host_callback()
+    if external:
+        print("host callbacks unsupported on this runtime; using the "
+              "two-program external-contour bridge")
+    step = make_bc_train_step(model, max_points=args.max_points,
+                              external_contours=external)
+    mask_step = make_bc_mask_step(model) if external else None
+    astep = accumulating(step)
+    ckpt = Checkpointer(args.model_output)
+    import numpy as np
+
+    for epoch in range(args.epochs):
+        acc, cnt = None, None
+        for i, b in enumerate(dset.epoch_batches(args.batchsize, epoch)):
+            tensors = shard_batch(mesh, (
+                b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"],
+                b["tgt_mask"], b["key_pts"], b["key_mask"],
+            ))
+            if external:
+                probs = np.asarray(mask_step(state, tensors[0]))
+                pts, counts = batch_find_contours(
+                    probs[..., 0], max_points=args.max_points, threshold=0.5)
+                pts_d, counts_d = shard_batch(mesh, (pts, counts))
+                tensors = (tensors[0], pts_d, counts_d) + tensors[1:]
+            state, acc, cnt = astep(state, acc, cnt, *tensors)
+            if (i + 1) % args.viz_freq == 0:
+                avg = fetch_averages(acc, cnt)
+                print(f"epoch[{epoch}] " + " ".join(
+                    f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+        if epoch >= 10 or args.epochs <= 10:  # reference gates at epoch 10
+            ckpt.save(epoch, {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "constants": state.constants, "opt_state": state.opt_state,
+                "step": state.step,
+            })
+            print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""BE_GAN trainer CLI — rebuild of reference train_BE_GAN.py.
+
+Defaults match the reference (train_BE_GAN.py:189-207): 512px, batch 16,
+10 epochs x 200 iterations, Adam G lr / D lr*0.1 with betas (0.5, 0.999).
+Both GAN phases (D update, then G update against the updated D) run in one
+jit program per iteration.
+"""
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+
+from vaeplay_tpu.data.be_data import BEDataset, SyntheticBubbleDataset
+from vaeplay_tpu.eval.be_eval import save_test_batch
+from vaeplay_tpu.models.be_gan import ComposeNet, Discriminator
+from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.metrics import accumulating, fetch_averages
+from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
+from vaeplay_tpu.train.steps_be_gan import GanState, make_be_gan_train_step
+from vaeplay_tpu.utils.jitting import jit_init
+from vaeplay_tpu.utils.viz import makedirs
+
+AVG_KEYS = ("d_adv_loss", "d_type_loss", "loss_edge", "loss_mask",
+            "g_adv_loss", "g_type_loss", "loss_cnt")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU BE_GAN trainer")
+    parser.add_argument("--path", type=str, dest="path", default=None)
+    parser.add_argument("--aug_path", type=str, dest="aug_path", default=None)
+    parser.add_argument("--lr", type=float, dest="lr", default=1e-4)
+    parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
+    parser.add_argument("--epochs", type=int, dest="epochs", default=10)
+    parser.add_argument("--iterations", type=int, dest="iterations", default=200)
+    parser.add_argument("--batchsize", type=int, dest="batchsize", default=16)
+    parser.add_argument("--workers", type=int, dest="workers", default=0)
+    parser.add_argument("--img_size", type=int, dest="img_size", default=512)
+    parser.add_argument("--res_output", type=str, dest="res_output", default="./results")
+    parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
+    parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=20)
+    parser.add_argument("--seed", type=int, dest="seed", default=0)
+    args = parser.parse_args(argv)
+
+    dest_name = os.path.join("BE_GAN", datetime.now().strftime("%Y%m%d-%H%M%S"))
+    args.res_output = os.path.join(args.res_output, dest_name)
+    args.model_output = os.path.join(args.model_output, dest_name)
+    makedirs(args.res_output)
+    makedirs(args.model_output)
+    with open(os.path.join(args.model_output, "record.txt"), "w") as f:
+        for arg in vars(args):
+            f.write("{:35}{:20}\n".format(arg, str(getattr(args, arg))))
+
+    g_model = ComposeNet()
+    d_model = Discriminator(in_size=args.img_size, num_classes=4)
+    x = jnp.zeros((1, args.img_size, args.img_size, 3))
+    m = jnp.zeros((1, args.img_size, args.img_size, 1))
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(args.seed)}, x)
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(args.seed + 1)}, x, m, m)
+    g = TrainState.create(
+        g_model.apply, gv["params"], gv["batch_stats"],
+        frozen_backbone_adam(args.lr), constants=gv.get("constants"),
+    )
+    d = TrainState.create(
+        d_model.apply, dv["params"], dv["batch_stats"],
+        torch_adam(args.lr * 0.1, (0.5, 0.999)),
+    )
+    mesh = create_mesh()
+    gs = replicate(mesh, GanState(g=g, d=d))
+    step = make_be_gan_train_step(g_model, d_model)
+    astep = accumulating(step)
+    ckpt = Checkpointer(args.model_output)
+
+    if args.path:
+        from vaeplay_tpu.data.be_gan_data import BEGanDataset
+        dset = BEGanDataset(args.path, args.img_size)
+    else:
+        print("no --path given; using the synthetic bubble dataset")
+        dset = SyntheticBubbleDataset(
+            img_size=args.img_size, data_size=args.iterations * args.batchsize
+        )
+
+    for epoch in range(args.epochs):
+        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        acc, cnt = None, None
+        for i in range(args.iterations):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                batch = next(it)
+            imgs, bimgs, eimgs, labels = shard_batch(
+                mesh, (batch["imgs"], batch["bimgs"], batch["eimgs"], batch["labels"])
+            )
+            gs, acc, cnt = astep(gs, acc, cnt, imgs, bimgs, eimgs, labels)
+            if (i + 1) % args.viz_freq == 0:
+                avg = fetch_averages(acc, cnt)
+                print(f"[Epoch: {epoch}] " + " ".join(
+                    f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+        ckpt.save(epoch, {
+            "G": {"params": gs.g.params, "batch_stats": gs.g.batch_stats,
+                  "constants": gs.g.constants},
+            "D": {"params": gs.d.params, "batch_stats": gs.d.batch_stats},
+            "step": gs.g.step,
+        })
+        print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""BC — contour extraction + refinement (PolyTransform-style).
+
+Rebuild of reference models/networks_BC.py.  The reference's architectural
+hot spot — a per-image CPU marching-squares call in the middle of `forward`
+(find_tensor_contour, networks_BC.py:217) — becomes a `jax.pure_callback`
+into the native C++ contour tracer, so the whole train step stays ONE jit
+program: XLA runs the conv stages on TPU, the callback hops to the host for
+the (non-differentiable) contour trace, and the refine stage resumes on TPU
+with fixed-capacity (max_points, mask) point sets.
+
+  find_tensor_contour  networks_BC.py:26-36  → ops.contour.batch_find_contours
+  resample_feature     networks_BC.py:55-78  → one batched bicubic grid-sample
+                        (reference loops per image); the reference normalizes
+                        full-resolution contour coords by the stride-4 feature
+                        map's half-extent — reproduced as-is
+  FeatureNet           networks_BC.py:80-93  (resnet50-FPN level "0")
+  MaskNet              networks_BC.py:95-129 (3+2 conv groups with 2x bilinear
+                        upsamples, 2-conv predictor)
+  EdgeNet              networks_BC.py:131-147 (5 convs ON the 1-ch mask logits)
+  RefineNet            networks_BC.py:149-176 (6 self-attention blocks over the
+                        point-feature matrix + 2-layer FC → per-point (dx, dy);
+                        CASE=1 layout: channels = points)
+  ComposeNet           networks_BC.py:178-241
+"""
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vaeplay_tpu.core.layers import ConvBlock, SelfAttentionBlock, add_coords, upsample2x_bilinear
+from vaeplay_tpu.models.backbone import ResNetFPN
+from vaeplay_tpu.ops.contour import batch_find_contours
+from vaeplay_tpu.ops.image import grid_sample
+
+DEFAULT_MAX_POINTS = 256
+
+
+class FeatureNet(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        return ResNetFPN(name="feature")(x)["0"]
+
+
+class MaskNet(nn.Module):
+    in_channel: int = 256
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        c = self.in_channel
+        x = ConvBlock(c // 2, 3, bn="batch", name="c1a")(x, train=train)
+        x = ConvBlock(c // 4, 3, bn="batch", name="c1b")(x, train=train)
+        x = ConvBlock(c // 8, 3, bn="batch", name="c1c")(x, train=train)
+        x = upsample2x_bilinear(x)
+        x = ConvBlock(c // 16, 3, bn="batch", name="c2a")(x, train=train)
+        x = ConvBlock(c // 32, 3, bn="batch", name="c2b")(x, train=train)
+        x = upsample2x_bilinear(x)
+        x = ConvBlock(c // 64, 3, activate=None, name="p1")(x, train=train)
+        x = ConvBlock(1, 3, activate=None, name="p2")(x, train=train)
+        return x
+
+
+class EdgeNet(nn.Module):
+    """Operates on the 1-channel mask logits (networks_BC.py:131-147)."""
+
+    in_channel: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        c = self.in_channel
+        for i in range(3):
+            x = ConvBlock(c, 3, name=f"c{i}")(x, train=train)
+        x = ConvBlock(c, 3, activate=None, name="p0")(x, train=train)
+        x = ConvBlock(c, 3, activate=None, name="p1")(x, train=train)
+        return x
+
+
+class RefineNet(nn.Module):
+    """6 attention blocks over (channels=points, positions=feature dims) + FC
+    head → per-point (dx, dy) (networks_BC.py:149-176, CASE=1)."""
+
+    max_points: int = DEFAULT_MAX_POINTS
+    feat_size: int = 258  # backbone channels + 2 coord channels
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        b, p, f = x.shape  # (B, max_points, feat)
+        # torch layout (B, C=points, HW=feat, 1) → NHWC (B, feat, 1, points)
+        y = x.transpose(0, 2, 1)[:, :, None, :]
+        for i in range(6):
+            y = SelfAttentionBlock(name=f"attn{i}")(y, train=train)
+        y = y[:, :, 0, :].transpose(0, 2, 1).reshape(b, p * f)
+        fc_in = self.max_points * self.feat_size
+        y = nn.Dense(fc_in // 8, kernel_init=nn.initializers.variance_scaling(
+            1 / 3, "fan_in", "uniform"), name="fc0")(y)
+        y = nn.Dense(self.max_points * 2, kernel_init=nn.initializers.variance_scaling(
+            1 / 3, "fan_in", "uniform"), name="fc1")(y)
+        return y.reshape(b, p, 2)
+
+
+def host_contours(mask_probs: jnp.ndarray, max_points: int):
+    """pure_callback bridge to the native contour tracer.  mask_probs
+    (B, H, W, 1) sigmoid values (already padded); returns pts (B, max_points,
+    2) float32 and counts (B,) int32, gradients stopped (the reference
+    detaches, networks_BC.py:29)."""
+    b = mask_probs.shape[0]
+
+    def cb(m):
+        pts, counts = batch_find_contours(
+            np.asarray(m)[..., 0], max_points=max_points, threshold=0.5
+        )
+        return pts.astype(np.float32), counts.astype(np.int32)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((b, max_points, 2), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    pts, counts = jax.pure_callback(
+        cb, out_shape, jax.lax.stop_gradient(mask_probs)
+    )
+    return pts, counts
+
+
+def resample_feature_batched(
+    feature: jnp.ndarray,  # (B, Hf, Wf, C) padded + coord-augmented
+    pts: jnp.ndarray,      # (B, max_points, 2) [x, y] in *full-res* coords
+    counts: jnp.ndarray,   # (B,)
+) -> jnp.ndarray:
+    """resample_feature (networks_BC.py:55-78) as one batched bicubic gather.
+    Normalization uses the feature map's own half-extent on the raw contour
+    coords — the reference's coordinate convention, kept verbatim."""
+    b, hf, wf, c = feature.shape
+    w_half = (wf - 1) / 2.0
+    h_half = (hf - 1) / 2.0
+    gx = (pts[..., 0] - w_half) / w_half
+    gy = (pts[..., 1] - h_half) / h_half
+    grid = jnp.stack([gx, gy], axis=-1)
+    sampled = grid_sample(feature, grid, align_corners=True, mode="bicubic")
+    valid = (jnp.arange(pts.shape[1])[None, :] < counts[:, None])
+    return sampled * valid[..., None].astype(sampled.dtype)
+
+
+class ComposeNet(nn.Module):
+    """Two contour-bridge modes:
+
+    * callback (default, platforms with host-callback support): the contour
+      trace runs as a pure_callback INSIDE the jit program — single program
+      per step.
+    * external (axon runtime, which rejects host callbacks): the caller runs
+      `mask_probs` first, traces contours on the host, and passes
+      `contours=(pts, counts)` back into the full forward.  Same math, two
+      programs + one host hop per step.
+    """
+
+    padding: int = 1
+    max_points: int = DEFAULT_MAX_POINTS
+
+    def setup(self):
+        self.feature_net = FeatureNet()
+        self.mask_net = MaskNet()
+        self.edge_net = EdgeNet()
+        # feat_size = backbone out_channels (256) + 2 coord channels
+        self.refine_net = RefineNet(max_points=self.max_points, feat_size=258)
+
+    def __call__(
+        self, x: jnp.ndarray, train: bool = True, contours=None
+    ) -> Dict[str, jnp.ndarray]:
+        p = self.padding
+        feature = self.feature_net(x, train=train)
+        mask_out = self.mask_net(feature, train=train)
+        edge_out = self.edge_net(mask_out, train=train)
+        if contours is None:
+            padded_mask = jnp.pad(
+                jax.nn.sigmoid(mask_out), ((0, 0), (p, p), (p, p), (0, 0))
+            )
+            pts, counts = host_contours(padded_mask, self.max_points)
+        else:
+            pts, counts = contours
+        feature_p = jnp.pad(feature, ((0, 0), (p, p), (p, p), (0, 0)))
+        feature_p = add_coords(feature_p)
+        feature_embed = resample_feature_batched(feature_p, pts, counts)
+        regressions = self.refine_net(feature_embed, train=train)
+        return {
+            "edges": edge_out,
+            "masks": mask_out,
+            "contours": pts,
+            "contour_counts": counts,
+            "contour_regressions": regressions,
+        }
+
+    def mask_probs(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """Stage A for external-contour mode: padded sigmoid mask probs."""
+        p = self.padding
+        feature = self.feature_net(x, train=train)
+        mask_out = self.mask_net(feature, train=train)
+        return jnp.pad(jax.nn.sigmoid(mask_out), ((0, 0), (p, p), (p, p), (0, 0)))

@@ -54,6 +54,12 @@ class MaskMapper(nn.Module):
         y = ConvBlock(16, 3, stride=2, activate="lrelu", name="conv0")(y, train=train)
         y = ConvBlock(32, 3, stride=2, activate="lrelu", name="conv1")(y, train=train)
         repeat_num = int(math.log2(self.in_size // 16)) - 2
+        if repeat_num < 1:
+            raise ValueError(
+                f"MaskMapper needs in_size >= 128 (got {self.in_size}); the "
+                "reference formula log2(in_size/16)-2 (networks_BE_GAN.py:79) "
+                "yields an empty feature list below that."
+            )
         c, out_c = 32, min(64, self.max_channel)
         feat_list = []
         for idx in range(repeat_num):

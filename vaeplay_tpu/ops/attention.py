@@ -84,6 +84,33 @@ def _pallas_attention(q, k, v, interpret=False):
     return out[:, :n, :dv]
 
 
+@jax.custom_vjp
+def _pallas_attention_ad(q, k, v):
+    return _pallas_attention(q, k, v)
+
+
+def _pallas_attention_fwd(q, k, v):
+    return _pallas_attention(q, k, v), (q, k, v)
+
+
+def _pallas_attention_bwd(res, g):
+    """Reverse pass via XLA einsums (softmax-attention VJP).  The energy
+    matrix is recomputed rather than saved — same rematerialization choice a
+    flash backward kernel makes."""
+    q, k, v = res
+    energy = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(energy, axis=-1)
+    dv = jnp.einsum("bnm,bnc->bmc", attn, g)
+    dp = jnp.einsum("bnc,bmc->bnm", g, v)
+    ds = (dp - jnp.sum(dp * attn, axis=-1, keepdims=True)) * attn
+    dq = jnp.einsum("bnm,bmd->bnd", ds, k)
+    dk = jnp.einsum("bnm,bnd->bmd", ds, q)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def use_pallas() -> bool:
     force = os.environ.get("VAEPLAY_FORCE_PALLAS")
     if force is not None:
@@ -101,5 +128,5 @@ def spatial_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jn
     """
     n = q.shape[1]
     if use_pallas() and n >= 64:
-        return _pallas_attention(q, k, v)
+        return _pallas_attention_ad(q, k, v)
     return _reference_attention(q, k, v)

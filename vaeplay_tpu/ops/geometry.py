@@ -75,27 +75,33 @@ def rotate_vector(vx, vy, rotation):
 
 
 def sample_points_ellipse(
-    ellipse_params: jnp.ndarray, sample_count: int = 720
+    ellipse_params: jnp.ndarray,
+    sample_count: int = 720,
+    sample_scale: float = 2.0,
 ) -> jnp.ndarray:
-    """Sample points + outward tangent-normal frames on batched ellipses.
+    """Sample points + outward unit normals on batched ellipses.
 
-    Vectorized rebuild of networks_BP.py:154-174 (which loops per angle):
-    ellipse_params: (B, 5) = cx, cy, rx, ry, step (already /VALUE_WEIGHT).
-    Returns (B, S, 5): px, py, dpx, dpy, degree-index where (dpx, dpy) is the
-    unit outward normal and degree-index = floor(angle_deg) used to index GT
-    per-degree annotations.
+    Vectorized rebuild of networks_BP.py:154-174 (the reference loops per
+    image; here one broadcasted evaluation covers the whole batch):
+    ellipse_params (B, >=4) = cx, cy, rx, ry[, step] (already /VALUE_WEIGHT).
+    Returns (B, S, 6): [px, py, dpx, dpy, sample-index, radian] where
+    (dpx, dpy) is the normalized tangent rotated by -pi/2 (the outward
+    normal, networks_BP.py:162-171) and sample-index = 0..S-1 is used to
+    gather per-sample GT rows (tools/ops.py:100-102).
     """
     b = ellipse_params.shape[0]
     cx, cy, rx, ry = (ellipse_params[:, i] for i in range(4))
-    t = jnp.arange(sample_count, dtype=jnp.float32) * (2.0 * math.pi / sample_count)
-    cos_t, sin_t = jnp.cos(t), jnp.sin(t)
+    ds = jnp.arange(sample_count, dtype=jnp.float32)
+    radians = ds / sample_scale * (math.pi / 180.0)
+    cos_t, sin_t = jnp.cos(radians), jnp.sin(radians)
     px = cx[:, None] + rx[:, None] * cos_t[None, :]
     py = cy[:, None] + ry[:, None] * sin_t[None, :]
-    # outward normal of an axis-aligned ellipse at parameter t
-    nx = ry[:, None] * cos_t[None, :]
-    ny = rx[:, None] * sin_t[None, :]
-    norm = jnp.sqrt(nx**2 + ny**2) + 1e-8
-    nx, ny = nx / norm, ny / norm
-    deg = jnp.floor(t * 180.0 / math.pi)
-    deg = jnp.broadcast_to(deg[None, :], (b, sample_count))
-    return jnp.stack([px, py, nx, ny, deg], axis=-1)
+    # unit tangent (rx*-sin, ry*cos), then rotate by -pi/2 → (dpy, -dpx)
+    dpx = rx[:, None] * (-sin_t)[None, :]
+    dpy = ry[:, None] * cos_t[None, :]
+    norm = jnp.sqrt(dpx**2 + dpy**2)
+    dpx, dpy = dpx / norm, dpy / norm
+    dpx, dpy = dpy, -dpx
+    idx = jnp.broadcast_to(ds[None, :], (b, sample_count))
+    rad = jnp.broadcast_to(radians[None, :], (b, sample_count))
+    return jnp.stack([px, py, dpx, dpy, idx, rad], axis=-1)

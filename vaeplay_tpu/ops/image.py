@@ -28,15 +28,28 @@ def _gather_2d(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
     return img[iy, ix]
 
 
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    """Cubic convolution weights for offsets (-1, 0, 1, 2) at fraction t —
+    torch grid_sample mode='bicubic' kernel (a = -0.75)."""
+    def k(x):
+        ax = jnp.abs(x)
+        w1 = (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+        w2 = a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+        return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+    return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
+
+
 def grid_sample(
     feat: jnp.ndarray,   # (B, H, W, C)
     grid: jnp.ndarray,   # (B, N, 2) normalized coords in [-1, 1], (x, y) order
     align_corners: bool = False,
     padding_zero: bool = True,
+    mode: str = "bilinear",
 ) -> jnp.ndarray:
-    """Bilinear grid sample at a set of points — torch F.grid_sample semantics
-    for mode='bilinear' with a (B, 1, N, 2)-style grid, returning (B, N, C).
-    """
+    """Grid sample at a set of points — torch F.grid_sample semantics for a
+    (B, 1, N, 2)-style grid, returning (B, N, C).  mode ∈ {bilinear, bicubic};
+    out-of-range samples read zeros (padding_mode='zeros')."""
     b, h, w, c = feat.shape
     x, y = grid[..., 0], grid[..., 1]
     if align_corners:
@@ -60,15 +73,27 @@ def grid_sample(
             vals = vals * inb[..., None].astype(vals.dtype)
         return vals
 
-    v00 = corner(x0, y0)
-    v01 = corner(x0 + 1, y0)
-    v10 = corner(x0, y0 + 1)
-    v11 = corner(x0 + 1, y0 + 1)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    if mode == "bilinear":
+        v00 = corner(x0, y0)
+        v01 = corner(x0 + 1, y0)
+        v10 = corner(x0, y0 + 1)
+        v11 = corner(x0 + 1, y0 + 1)
+        wxe = wx[..., None]
+        wye = wy[..., None]
+        top = v00 * (1 - wxe) + v01 * wxe
+        bot = v10 * (1 - wxe) + v11 * wxe
+        return top * (1 - wye) + bot * wye
+    if mode == "bicubic":
+        kx = _cubic_weights(wx)
+        ky = _cubic_weights(wy)
+        out = 0.0
+        for j in range(4):  # y offsets -1..2
+            row = 0.0
+            for i in range(4):  # x offsets -1..2
+                row = row + corner(x0 + (i - 1), y0 + (j - 1)) * kx[i][..., None]
+            out = out + row * ky[j][..., None]
+        return out
+    raise ValueError(f"unknown grid_sample mode {mode!r}")
 
 
 def avg_pool(x: jnp.ndarray, window: int, stride: int = None) -> jnp.ndarray:

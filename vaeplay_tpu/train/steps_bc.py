@@ -1,0 +1,91 @@
+"""Fused train step for BC (reference train_BC.py:52-68).
+
+losses = (edge BCE+dice) + (mask BCE+dice)
+         + chamfer point-regression(pred contours+regressions vs GT contours
+           and RDP key contours)
+Adam(lr) with StepLR(10, 0.5) handled by the CLI's schedule; backbone
+stem/layer1 frozen (torchvision trainable_layers=3).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from vaeplay_tpu.ops import losses as L
+from vaeplay_tpu.train.state import TrainState
+
+
+def make_bc_train_step(model, max_points: int = 256, external_contours: bool = False):
+    """jit step for BC.
+
+    callback mode (default):  (state, imgs, bimgs, eimgs, tgt...) — contour
+    trace happens inside the program via pure_callback.
+    external mode (axon runtime, no host-callback support):
+    (state, imgs, pts, counts, bimgs, eimgs, tgt...) — the caller traces
+    contours between a jitted `mask_probs` pass and this step (use
+    `make_bc_mask_step` + ops.contour.batch_find_contours).
+    """
+
+    def loss_fn(params, batch_stats, constants, imgs, contours, bimgs, eimgs,
+                tgt_pts, tgt_mask, key_pts, key_mask):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if constants:
+            variables["constants"] = constants
+        preds, mut = model.apply(
+            variables, imgs, train=True, contours=contours,
+            mutable=["batch_stats"],
+        )
+        loss_edge = L.mask_edge_losses(preds["edges"], eimgs)
+        loss_mask = L.mask_edge_losses(preds["masks"], bimgs)
+        n = preds["contours"].shape[1]
+        pred_mask = (jnp.arange(n)[None, :]
+                     < preds["contour_counts"][:, None]).astype(jnp.float32)
+        loss_regress = L.chamfer_pt_regression_loss(
+            preds["contours"], pred_mask, preds["contour_regressions"],
+            tgt_pts, tgt_mask, key_pts, key_mask,
+        )
+        total = loss_edge + loss_mask + loss_regress
+        return total, ({"loss_edge": loss_edge, "loss_mask": loss_mask,
+                        "loss_regress": loss_regress}, mut["batch_stats"])
+
+    if external_contours:
+        @jax.jit
+        def train_step(state: TrainState, imgs, pts, counts, bimgs, eimgs,
+                       tgt_pts, tgt_mask, key_pts, key_mask):
+            grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, state.constants,
+                imgs, (pts, counts), bimgs, eimgs,
+                tgt_pts, tgt_mask, key_pts, key_mask,
+            )
+            state = state.apply_gradients(grads, new_batch_stats=new_bs)
+            return state, metrics
+    else:
+        @jax.jit
+        def train_step(state: TrainState, imgs, bimgs, eimgs,
+                       tgt_pts, tgt_mask, key_pts, key_mask):
+            grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, state.constants,
+                imgs, None, bimgs, eimgs, tgt_pts, tgt_mask, key_pts, key_mask,
+            )
+            state = state.apply_gradients(grads, new_batch_stats=new_bs)
+            return state, metrics
+
+    return train_step
+
+
+def make_bc_mask_step(model):
+    """Stage A for external-contour mode: jit (state, imgs) → padded sigmoid
+    mask probs (train-mode statistics, batch_stats updates discarded — the
+    contour source matches the training forward's mask, networks_BC.py:217)."""
+
+    @jax.jit
+    def mask_step(state: TrainState, imgs):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.constants:
+            variables["constants"] = state.constants
+        probs, _ = model.apply(
+            variables, imgs, train=True, method=model.mask_probs,
+            mutable=["batch_stats"],
+        )
+        return probs
+
+    return mask_step

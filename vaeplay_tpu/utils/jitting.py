@@ -16,3 +16,31 @@ def jit_init(model, rngs, *args, **kwargs):
         return model.init(rngs, *args, **kwargs)
 
     return _init(rngs, args)
+
+
+_HOST_CALLBACK_SUPPORT = None
+
+
+def supports_host_callback() -> bool:
+    """Whether the default backend can run jax.pure_callback inside jit.
+    The axon TPU runtime cannot ("axon_pjrt does not support host send/recv
+    callbacks"); CPU and standard TPU runtimes can.  Probed once per process.
+    """
+    global _HOST_CALLBACK_SUPPORT
+    if _HOST_CALLBACK_SUPPORT is None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        try:
+            @jax.jit
+            def probe(x):
+                return jax.pure_callback(
+                    lambda v: np.asarray(v) + 1.0,
+                    jax.ShapeDtypeStruct((), jnp.float32), x,
+                )
+
+            jax.block_until_ready(probe(jnp.zeros(())))
+            _HOST_CALLBACK_SUPPORT = True
+        except Exception:
+            _HOST_CALLBACK_SUPPORT = False
+    return _HOST_CALLBACK_SUPPORT
