@@ -1,0 +1,95 @@
+"""BCP family tests: shapes, detached classifier, fused GAN step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vaeplay_tpu.data.bcp_data import SyntheticBCPDataset
+from vaeplay_tpu.models.bcp import ComposeNet, Discriminator, eval_contours_from_masks
+from vaeplay_tpu.train.state import TrainState, torch_adam
+from vaeplay_tpu.train.steps_bcp import make_bcp_train_step
+from vaeplay_tpu.train.steps_be_gan import GanState
+from vaeplay_tpu.utils.jitting import jit_init
+
+IMG = 64
+P = 128
+
+
+@pytest.fixture(scope="module")
+def bcp_state():
+    g_model = ComposeNet(image_size=IMG, pt_size=P)
+    d_model = Discriminator(image_size=IMG, pt_size=P)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    cnt = jnp.zeros((1, P, 2))
+    counts = jnp.ones((1,), jnp.int32)
+    tgt = jnp.zeros((1, P, 4))
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(0)}, x, cnt, counts)
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(1)}, x, tgt)
+    g = TrainState.create(g_model.apply, gv["params"], None, torch_adam(1e-3))
+    d = TrainState.create(d_model.apply, dv["params"], None, torch_adam(1e-3))
+    return g_model, d_model, GanState(g=g, d=d)
+
+
+def test_bcp_forward_shapes(bcp_state):
+    g_model, _, gs = bcp_state
+    ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
+    b = ds.sample_batch(2)
+    counts = jnp.sum(jnp.asarray(b["pmask"]), axis=1).astype(jnp.int32)
+    preds = g_model.apply(
+        {"params": gs.g.params}, jnp.asarray(b["imgs"]),
+        jnp.asarray(b["points"][..., :2]), counts, train=True,
+    )
+    assert preds["classes"].shape == (2, 2)
+    assert preds["target_pts"].shape == (2, P, 2)
+    assert preds["target_frequency"].shape == (2, P)
+    fr = np.asarray(preds["target_frequency"])
+    assert fr.min() >= 0.0 and fr.max() <= 1.0
+
+
+def test_bcp_classifier_detached_from_line_losses(bcp_state):
+    """Line-predictor losses must not backprop into the classifier
+    (x_cls.detach() at networks_BCP.py:296)."""
+    g_model, _, gs = bcp_state
+    ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
+    b = ds.sample_batch(1)
+    counts = jnp.sum(jnp.asarray(b["pmask"]), axis=1).astype(jnp.int32)
+
+    def line_only_loss(params):
+        preds = g_model.apply(
+            {"params": params}, jnp.asarray(b["imgs"]),
+            jnp.asarray(b["points"][..., :2]), counts, train=True,
+        )
+        return jnp.sum(preds["target_pts"]) + jnp.sum(preds["target_frequency"])
+
+    grads = jax.grad(line_only_loss)(gs.g.params)
+    assert float(optax.global_norm(grads["cls_classifier"])) == 0.0
+    assert float(optax.global_norm(grads["line_predictor"])) > 0.0
+    # gradient still reaches the shared encoder through the gather
+    assert float(optax.global_norm(grads["encoder"])) > 0.0
+
+
+def test_bcp_gan_step(bcp_state):
+    g_model, d_model, gs = bcp_state
+    step = make_bcp_train_step(g_model, d_model)
+    ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
+    b = ds.sample_batch(2)
+    gs2, metrics = step(
+        gs, jnp.asarray(b["imgs"]), jnp.asarray(b["labels"]),
+        jnp.asarray(b["points"]), jnp.asarray(b["pmask"]),
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    d_before = np.asarray(jax.tree_util.tree_leaves(gs.d.params)[0])
+    d_after = np.asarray(jax.tree_util.tree_leaves(gs2.d.params)[0])
+    assert np.abs(d_after - d_before).max() > 0
+
+
+def test_eval_contour_extraction():
+    ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
+    b = ds.sample_batch(2)
+    pts, counts = eval_contours_from_masks(b["imgs"], P)
+    assert pts.shape == (2, P, 2)
+    assert counts.max() > 0
+    assert np.abs(pts).max() <= 1.0 + 1e-6

