@@ -1,0 +1,99 @@
+"""End-to-end manga-page pipeline test: synthetic page → crops → paste-back."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vaeplay_tpu.eval.manga import (
+    load_manga_from_annotation, load_manga_from_mask, paste_result_on_manga,
+)
+
+
+@pytest.fixture
+def synthetic_page(tmp_path):
+    """A 256x256 page with two bubble regions + coarse mask + labelme anno."""
+    h = w = 256
+    img = np.full((h, w, 3), 200, np.uint8)
+    mask = np.full((h, w, 3), 255, np.uint8)  # white bg → cleared
+
+    def add_bubble(cx, cy, r, label):
+        yy, xx = np.mgrid[0:h, 0:w]
+        inside = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+        img[inside] = 255
+        mask[inside] = (255, label, 0)
+
+    add_bubble(70, 80, 30, 1)
+    add_bubble(180, 170, 25, 2)
+    img_path = str(tmp_path / "page.png")
+    mask_path = str(tmp_path / "mask.png")
+    Image.fromarray(img).save(img_path)
+    Image.fromarray(mask).save(mask_path)
+    anno = {
+        "imageWidth": w, "imageHeight": h,
+        "shapes": [
+            {"label": "Bubble-Boundary", "points": [[40, 50], [100, 110]],
+             "sub_label": "Oval"},
+            {"label": "Bubble-Boundary", "points": [[155, 145], [205, 195]],
+             "sub_label": "NoFrame"},
+        ],
+    }
+    anno_path = str(tmp_path / "page.json")
+    with open(anno_path, "w") as f:
+        json.dump(anno, f)
+    return img_path, mask_path, anno_path, tmp_path
+
+
+def test_load_from_mask(synthetic_page):
+    img_path, mask_path, _, _ = synthetic_page
+    page = load_manga_from_mask(img_path, mask_path, 64)
+    assert page["images"].shape == (2, 64, 64, 3)
+    assert set(page["labels"].tolist()) == {1, 2}
+    assert page["boxes"].shape == (2, 4)
+
+
+def test_load_from_annotation(synthetic_page):
+    img_path, _, anno_path, _ = synthetic_page
+    page = load_manga_from_annotation(img_path, anno_path, 64)
+    assert page["images"].shape == (2, 64, 64, 3)
+    assert page["labels"].tolist() == [1, 3]  # Oval=1, NoFrame=3
+    assert page["original_boxes"].shape == (2, 4)
+
+
+def test_paste_result_roundtrip(synthetic_page):
+    img_path, mask_path, _, tmp_path = synthetic_page
+    page = load_manga_from_mask(img_path, mask_path, 64)
+    b = page["images"].shape[0]
+    # fake predictions: central disc as mask, ring as edge
+    yy, xx = np.mgrid[0:64, 0:64]
+    d = (xx - 32) ** 2 + (yy - 32) ** 2
+    masks = np.broadcast_to((d < 20**2).astype(np.float32)[None, :, :, None],
+                            (b, 64, 64, 1))
+    edges = np.broadcast_to(((d >= 20**2) & (d < 24**2)).astype(np.float32)[None, :, :, None],
+                            (b, 64, 64, 1))
+    out = paste_result_on_manga(img_path, page, masks, edges,
+                                str(tmp_path), "result")
+    assert os.path.exists(tmp_path / "result.png")
+    assert out.shape == (256, 256, 3)
+    # background stays white, some content (B channel) painted
+    assert (out[0, 0] == 255).all()
+    painted = (out[:, :, 2] == 255) & (out[:, :, 0] == 0)
+    assert painted.sum() > 100
+    # class channel carries the bubble label where painted
+    labels_present = set(np.unique(out[:, :, 1][painted]).tolist())
+    assert labels_present <= {1, 2}
+
+
+def test_paste_noframe_uses_dilated_box(synthetic_page):
+    img_path, _, anno_path, tmp_path = synthetic_page
+    page = load_manga_from_annotation(img_path, anno_path, 64)
+    b = page["images"].shape[0]
+    masks = np.zeros((b, 64, 64, 1), np.float32)  # predictions empty
+    edges = np.zeros((b, 64, 64, 1), np.float32)
+    out = paste_result_on_manga(img_path, page, masks, edges,
+                                str(tmp_path), "result2")
+    # the NoFrame bubble (label 3) must still paint via its dilated box
+    painted = (out[:, :, 1] == 3)
+    assert painted.sum() > 100

@@ -1,0 +1,88 @@
+"""Manga-page BE inference CLI — rebuild of reference test_BE_manga.py.
+
+Walks manga/episode/chapter directories, crops per-bubble squares from
+labelme annotations (or coarse masks), batches them through the BE net on
+TPU, and pastes results back at page resolution (eval/manga.py).
+"""
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from vaeplay_tpu.cli.test_be import load_be_state
+from vaeplay_tpu.eval.manga import (
+    load_manga_from_annotation, load_manga_from_mask, paste_result_on_manga,
+)
+from vaeplay_tpu.train.steps_be import make_be_eval_step
+from vaeplay_tpu.utils.viz import makedirs
+
+
+def process_page(eval_step, state, img_path, anno_path, mask_path,
+                 img_size, res_output, name):
+    if anno_path:
+        page = load_manga_from_annotation(img_path, anno_path, img_size)
+    else:
+        page = load_manga_from_mask(img_path, mask_path, img_size)
+    if page["images"].shape[0] == 0:
+        print(f"{name}: no bubbles found")
+        return
+    preds = eval_step(state, jnp.asarray(page["images"]))
+    paste_result_on_manga(
+        img_path, page, np.asarray(preds["masks"]), np.asarray(preds["edges"]),
+        res_output, name,
+    )
+    print(f"{name}: {page['images'].shape[0]} bubbles → {res_output}/{name}.png")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU manga-page BE inference")
+    parser.add_argument("--path", type=str, dest="path", required=True,
+                        help="manga root folder (manga/episode/chapter layout)")
+    parser.add_argument("--anno_path", type=str, dest="anno_path", default=None)
+    parser.add_argument("--model_path", type=str, dest="model_path", default=None)
+    parser.add_argument("--debug", action="store_true", dest="debug")
+    parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
+    parser.add_argument("--img_size", type=int, dest="img_size", default=512)
+    parser.add_argument("--res_output", type=str, dest="res_output",
+                        default="./results/manga")
+    args = parser.parse_args(argv)
+
+    if not args.debug and not args.model_path:
+        parser.error("--model_path required unless --debug")
+    makedirs(args.res_output)
+    model, state = load_be_state(None if args.debug else args.model_path,
+                                 args.img_size)
+    eval_step = make_be_eval_step(model)
+
+    for manga in sorted(os.listdir(args.path)):
+        m_path = os.path.join(args.path, manga)
+        if not os.path.isdir(m_path):
+            continue
+        for epi in sorted(os.listdir(m_path)):
+            e_path = os.path.join(m_path, epi)
+            for chapter in sorted(os.listdir(e_path)):
+                c_path = os.path.join(e_path, chapter, "OriginSizeManga")
+                if not os.path.isdir(c_path):
+                    continue
+                for pagef in sorted(os.listdir(c_path)):
+                    img_path = os.path.join(c_path, pagef)
+                    stem = pagef.split(".")[0]
+                    anno = None
+                    if args.anno_path:
+                        cand = os.path.join(args.anno_path, manga, epi, chapter,
+                                            f"{stem}.json")
+                        anno = cand if os.path.exists(cand) else None
+                    if anno is None:
+                        continue
+                    try:
+                        process_page(eval_step, state, img_path, anno, None,
+                                     args.img_size, args.res_output,
+                                     f"{manga}_{epi}_{chapter}_{stem}")
+                    except Exception as e:  # skip bad pages (test_BE_manga.py:460)
+                        print(f"skip {img_path}: {e}")
+
+
+if __name__ == "__main__":
+    main()
