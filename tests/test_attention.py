@@ -19,7 +19,7 @@ def test_pallas_matches_reference(n, dk, dv):
     k = jnp.asarray(rng.normal(size=(2, n, dk)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(2, n, dv)).astype(np.float32))
     ref = _reference_attention(q, k, v)
-    got = _pallas_attention(q, k, v, interpret=True)
+    got = _pallas_attention(q, k, v, interpret=True, full_precision=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
