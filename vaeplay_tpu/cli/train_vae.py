@@ -24,6 +24,8 @@ from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
 from vaeplay_tpu.train.steps_vae import make_circle_train_step, make_eval_step
 from vaeplay_tpu.utils.jitting import jit_init
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
+from vaeplay_tpu.utils.profiling import maybe_profile
 from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
 AVG_KEYS = ("loss_recon", "loss_encoder", "loss_decoder", "loss_discriminator", "loss_aux")
@@ -65,11 +67,17 @@ def main(argv=None):
     parser.add_argument("--data_size", type=int, dest="data_size", default=4096)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
     parser.add_argument("--resume", type=str, dest="resume", default=None)
+    parser.add_argument("--profile", type=str, dest="profile", default=None,
+                        help="directory for a jax.profiler trace")
+    parser.add_argument("--profile_steps", type=int, dest="profile_steps", default=5,
+                        help="trace only the first N steps (device tracing "
+                             "over the axon tunnel slows execution heavily)")
     args = parser.parse_args(argv)
 
     makedirs(args.res_output)
     run_dir = make_run_dir(args.model_output, "VAE")
     ckpt = Checkpointer(run_dir)
+    mlog = MetricsLogger(run_dir)
 
     model, state = build_state(args)
     mesh = create_mesh()
@@ -91,6 +99,11 @@ def main(argv=None):
 
     eval_step = make_eval_step(model)
     astep = accumulating(step)
+    profile_cm = None
+    if args.profile:
+        profile_cm = maybe_profile(args.profile)
+        profile_cm.__enter__()
+    global_it = 0
     for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
         t0 = time.perf_counter()
@@ -101,6 +114,12 @@ def main(argv=None):
             # metrics accumulate on device; the host only syncs at viz_freq
             state, acc, cnt = astep(state, acc, cnt, pb_dev, sub)
             seen += pb.shape[0]
+            global_it += 1
+            if profile_cm is not None and global_it >= args.profile_steps:
+                jax.block_until_ready(acc)
+                profile_cm.__exit__(None, None, None)
+                profile_cm = None
+                print(f"profile trace ({args.profile_steps} steps) → {args.profile}")
 
             if (i + 1) % args.viz_freq == 0:
                 avg = fetch_averages(acc, cnt)
@@ -108,6 +127,8 @@ def main(argv=None):
                 print(f"epoch {epoch} it {i+1}: "
                       + " ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS)
                       + f" | {seen/dt:.1f} img/s")
+                mlog.log(int(jax.device_get(state.step)), avg, epoch=epoch,
+                         images_per_sec=seen / dt)
                 # comparison grid: input | reconstruction | render(decoded params)
                 imgs = render_circle_batch(
                     args.img_size, jnp.asarray(pb[:, 0]), jnp.asarray(pb[:, 1]),
@@ -133,6 +154,8 @@ def main(argv=None):
             "opt_state": state.opt_state, "step": state.step,
         })
         print(f"epoch {epoch} done; checkpoint → {ckpt.path(epoch)}")
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
 
 
 if __name__ == "__main__":
