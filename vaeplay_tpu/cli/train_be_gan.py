@@ -83,10 +83,23 @@ def main(argv=None):
             img_size=args.img_size, data_size=args.iterations * args.batchsize
         )
 
+    # optional background-synthesis aug stream: every 10 iterations swap the
+    # compositing page (reference train_BE_GAN.py:98-110)
+    aug_pages = None
+    if args.aug_path:
+        from vaeplay_tpu.data.be_gan_data import MangaPageDataset
+        aug_pages = MangaPageDataset(args.aug_path)
+        print(f"aug stream: {len(aug_pages)} manga pages")
+    import numpy as _np
+    aug_rng = _np.random.default_rng(args.seed + 7)
+
     for epoch in range(args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt = None, None
         for i in range(args.iterations):
+            if aug_pages is not None and i % 10 == 0 and hasattr(dset, "synthesis_target"):
+                dset.synthesis_target = aug_pages.load(
+                    int(aug_rng.integers(0, len(aug_pages))))
             try:
                 batch = next(it)
             except StopIteration:

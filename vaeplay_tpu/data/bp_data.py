@@ -82,6 +82,38 @@ class BPDataset:
             yield np.stack(imgs), np.stack(p1), np.stack(p2)
 
 
+class BPDatasetTEST:
+    """Test-time BP loader (dataset.py:421-460): class-3 `_mask2` bubble
+    images + `_layer` masks stacked as [img, bmask, emask] channels."""
+
+    def __init__(self, data_path: str, img_size: int):
+        self.img_size = img_size
+        self.items = []
+        cls_folder = os.path.join(data_path, "3")
+        if os.path.isdir(cls_folder):
+            for patch in sorted(os.listdir(cls_folder)):
+                if any(t in patch for t in ("layer", "mask", "edge", "bubble")):
+                    continue
+                name, ext = patch.split(".")[:2]
+                self.items.append({
+                    "img": os.path.join(cls_folder, f"{name}_mask2.{ext}"),
+                    "mask": os.path.join(cls_folder, f"{name}_layer.{ext}"),
+                })
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int):
+        it = self.items[idx]
+        s = self.img_size
+        img = np.asarray(
+            Image.open(it["img"]).convert("L").resize((s, s), Image.NEAREST),
+            np.float32) / 255.0
+        mask = Image.open(it["mask"]).convert("RGB").resize((s, s), Image.NEAREST)
+        bmask, emask = decode_layer_mask(np.asarray(mask))
+        return np.stack([img, bmask, emask], axis=-1)
+
+
 @dataclass
 class SyntheticEmitDataset:
     """Procedural emit-line bubbles: an ellipse ring with radial lines every

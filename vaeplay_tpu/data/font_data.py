@@ -233,6 +233,25 @@ class ImageDatasetJson:
         return img.convert("RGB"), self.targets[index]
 
 
+class KanaImageDataset:
+    """Folder of kana images, binarized + white-padded + squared
+    (dataset_font.py:160-179)."""
+
+    def __init__(self, image_folder: str):
+        self.imgs = [os.path.join(image_folder, fp)
+                     for fp in sorted(os.listdir(image_folder))]
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def load(self, idx: int) -> Image.Image:
+        img = Image.open(self.imgs[idx]).convert("L")
+        img = img.point(lambda p: 255 if p > 128 else 0)
+        img = img.convert("RGB")
+        img = ImageOps.expand(img, border=11, fill=(255, 255, 255))
+        return to_n_n(img, (255, 255, 255))
+
+
 class FEDataset:
     """Rendered glyph scan: save_folder/<style>/<codepoint>.png
     (dataset_font.py:343-376)."""
