@@ -1,0 +1,300 @@
+"""Per-family TPU train-step benchmark — measures every model family's fused
+step on the real chip and writes BENCH_FAMILIES.md.
+
+Shapes are scaled-down versions of the reference defaults where the full
+config would be slow to compile repeatedly; the flagship 256px VAE-GAN is
+covered at full scale by bench.py.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
+
+
+def timeit(fn, args, warmup=2, iters=10):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_vae():
+    from vaeplay_tpu.data.circles import CircleDataset
+    from vaeplay_tpu.models.vae_gan import VaeGan
+    from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
+    from vaeplay_tpu.train.steps_vae import make_circle_train_step
+
+    IMG, BS = 256, 128
+    model = VaeGan(img_size=IMG, z_size=128)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                 jnp.zeros((2, IMG, IMG, 1)))
+    tx = grouped_transform({k: torch_rmsprop(1e-4) for k in
+                            ("encoder", "decoder", "discriminator", "param_encoder")},
+                           v["params"])
+    state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
+    step = make_circle_train_step(model, IMG)
+    pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
+    holder = {"s": state}
+
+    def run(pb, rng):
+        holder["s"], m = step(holder["s"], pb, rng)
+        return m
+
+    dt = timeit(run, (pb, jax.random.PRNGKey(2)))
+    return f"VAE-GAN 256px bs{BS}", dt, BS
+
+
+def bench_be():
+    from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
+    from vaeplay_tpu.models.be import ComposeNet
+    from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
+    from vaeplay_tpu.train.steps_be import make_be_train_step
+
+    IMG, BS = 512, 32
+    model = ComposeNet()
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, IMG, IMG, 3)))
+    state = TrainState.create(model.apply, v["params"], v["batch_stats"],
+                              frozen_backbone_adam(1e-4),
+                              constants=v.get("constants"))
+    step = make_be_train_step(model)
+    b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
+    args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]), jnp.asarray(b["eimgs"]))
+    holder = {"s": state}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"BE 512px bs{BS} (reference default)", dt, BS
+
+
+def bench_be_gan():
+    from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
+    from vaeplay_tpu.models.be_gan import ComposeNet, Discriminator
+    from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
+    from vaeplay_tpu.train.steps_be_gan import GanState, make_be_gan_train_step
+
+    IMG, BS = 512, 16
+    g_model = ComposeNet()
+    d_model = Discriminator(in_size=IMG, num_classes=4)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    m0 = jnp.zeros((1, IMG, IMG, 1))
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(0)}, x)
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(1)}, x, m0, m0)
+    gs = GanState(
+        g=TrainState.create(g_model.apply, gv["params"], gv["batch_stats"],
+                            frozen_backbone_adam(1e-4), constants=gv.get("constants")),
+        d=TrainState.create(d_model.apply, dv["params"], dv["batch_stats"],
+                            torch_adam(1e-5, (0.5, 0.999))),
+    )
+    step = make_be_gan_train_step(g_model, d_model)
+    b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
+    args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]),
+            jnp.asarray(b["eimgs"]), jnp.asarray(b["labels"]))
+    holder = {"s": gs}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"BE_GAN 512px bs{BS} (reference default)", dt, BS
+
+
+def bench_bp():
+    from vaeplay_tpu.data.bp_data import SyntheticEmitDataset
+    from vaeplay_tpu.models.bp import ComposeNet
+    from vaeplay_tpu.train.state import TrainState, torch_adam
+    from vaeplay_tpu.train.steps_bp import make_bp_train_step
+
+    IMG, BS = 512, 8
+    model = ComposeNet(image_size=IMG)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, IMG, IMG, 3)))
+    state = TrainState.create(model.apply, v["params"], None, torch_adam(1e-3))
+    step = make_bp_train_step(model)
+    imgs, p1, p2 = SyntheticEmitDataset(img_size=IMG).sample_batch(BS)
+    args = (jnp.asarray(imgs), jnp.asarray(p1), jnp.asarray(p2))
+    holder = {"s": state}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"BP 512px bs{BS} 720pts (reference default)", dt, BS
+
+
+def bench_bc():
+    from vaeplay_tpu.data.bc_data import SyntheticBCDataset
+    from vaeplay_tpu.models.bc import ComposeNet
+    from vaeplay_tpu.ops.contour import batch_find_contours
+    from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
+    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step
+
+    IMG, BS, MP = 256, 32, 256
+    model = ComposeNet(max_points=MP)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, IMG, IMG, 3)))
+    state = TrainState.create(model.apply, v["params"], v["batch_stats"],
+                              frozen_backbone_adam(1e-4),
+                              constants=v.get("constants"))
+    external = not supports_host_callback()
+    step = make_bc_train_step(model, max_points=MP, external_contours=external)
+    mask_step = make_bc_mask_step(model) if external else None
+    b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(BS)
+    base = tuple(jnp.asarray(b[k]) for k in
+                 ("imgs", "bimgs", "eimgs", "tgt_pts", "tgt_mask", "key_pts", "key_mask"))
+    holder = {"s": state}
+
+    def run(*a):
+        if external:
+            probs = np.asarray(mask_step(holder["s"], a[0]))
+            pts, counts = batch_find_contours(probs[..., 0], MP)
+            holder["s"], m = step(holder["s"], a[0], jnp.asarray(pts),
+                                  jnp.asarray(counts), *a[1:])
+        else:
+            holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, base, warmup=2, iters=5)
+    return f"BC 256px bs{BS} {MP}pts (reference default){' [ext bridge]' if external else ''}", dt, BS
+
+
+def bench_bcp():
+    from vaeplay_tpu.data.bcp_data import SyntheticBCPDataset
+    from vaeplay_tpu.models.bcp import ComposeNet, Discriminator
+    from vaeplay_tpu.train.state import TrainState, torch_adam
+    from vaeplay_tpu.train.steps_bcp import make_bcp_train_step
+    from vaeplay_tpu.train.steps_be_gan import GanState
+
+    IMG, BS, P = 512, 16, 2048
+    g_model = ComposeNet(image_size=IMG, pt_size=P)
+    d_model = Discriminator(image_size=IMG, pt_size=P)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(0)}, x,
+                  jnp.zeros((1, P, 2)), jnp.ones((1,), jnp.int32))
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(1)}, x,
+                  jnp.zeros((1, P, 4)))
+    gs = GanState(
+        g=TrainState.create(g_model.apply, gv["params"], None, torch_adam(1e-3)),
+        d=TrainState.create(d_model.apply, dv["params"], None, torch_adam(1e-3)),
+    )
+    step = make_bcp_train_step(g_model, d_model)
+    b = SyntheticBCPDataset(img_size=IMG, max_points=P).sample_batch(BS)
+    args = (jnp.asarray(b["imgs"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["points"]), jnp.asarray(b["pmask"]))
+    holder = {"s": gs}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"BCP 512px bs{BS} {P}pts (reference default)", dt, BS
+
+
+def bench_be_font():
+    from vaeplay_tpu.data.font_data import SyntheticGlyphDataset
+    from vaeplay_tpu.models.be_font import ComposeNet, Discriminator
+    from vaeplay_tpu.train.steps_be_font import create_font_state, make_be_font_train_step
+
+    IMG, BS = 64, 32
+    g_model = ComposeNet(in_size=IMG)
+    d_model = Discriminator(in_size=IMG)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    y = {"cls": jnp.zeros((1, 143)), "cnt_style": jnp.zeros((1, 5))}
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(0)}, x, y,
+                  method=g_model.init_all)
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, IMG, IMG, 2)), y)
+    fs = create_font_state(g_model, d_model, gv, dv, 1e-4)
+    step = make_be_font_train_step(g_model, d_model, 1e-4)
+    b = next(SyntheticGlyphDataset(data_size=BS).batches(BS, IMG))
+    args = (jnp.asarray(b["imgs"]), jnp.asarray(b["masks"]),
+            jnp.asarray(b["edges"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["styles"]))
+    holder = {"s": fs}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"BE_font 64px bs{BS} (reference default)", dt, BS
+
+
+def bench_style_gan():
+    from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
+    from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
+    from vaeplay_tpu.train.state import TrainState, torch_adam
+    from vaeplay_tpu.train.steps_style_gan import StyleGanState, make_style_gan_train_step
+
+    IMG, Z, BS = 256, 512, 16
+    e_model = StyleEncoder(z_dim=Z, image_size=IMG)
+    g_model = Generator(image_size=IMG, z_dim=Z)
+    d_model = Discriminator(image_size=IMG, num_classes=2)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    ev = jit_init(e_model, {"params": jax.random.PRNGKey(0)}, x)
+    gv = jit_init(g_model, {"params": jax.random.PRNGKey(1)}, x,
+                  jnp.zeros((1, Z)), jnp.zeros((1,), jnp.int32))
+    dv = jit_init(d_model, {"params": jax.random.PRNGKey(2)}, x, x)
+    ss = StyleGanState(
+        e=TrainState.create(e_model.apply, ev["params"], None, torch_adam(1e-4)),
+        g=TrainState.create(g_model.apply, gv["params"], None, torch_adam(1e-4)),
+        d=TrainState.create(d_model.apply, dv["params"], None, torch_adam(1e-4)),
+    )
+    step = make_style_gan_train_step(e_model, g_model, d_model, Z)
+    b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
+    args = (jnp.asarray(b["imgs"]),
+            jnp.asarray(np.repeat(b["bimgs"], 3, axis=-1)),
+            jnp.asarray(b["labels"] % 2), jax.random.PRNGKey(3))
+    holder = {"s": ss}
+
+    def run(*a):
+        holder["s"], m = step(holder["s"], *a)
+        return m
+
+    dt = timeit(run, args, warmup=2, iters=5)
+    return f"Style_GAN 256px z512 bs{BS} (half reference batch)", dt, BS
+
+
+def main():
+    rows = []
+    for fn in (bench_vae, bench_be, bench_be_gan, bench_bp, bench_bc,
+               bench_bcp, bench_be_font, bench_style_gan):
+        try:
+            label, dt, bs = fn()
+            rows.append((label, dt * 1000, bs / dt))
+            print(f"{label}: {dt*1000:.2f} ms/step, {bs/dt:.1f} img/s", flush=True)
+        except Exception as e:
+            rows.append((f"{fn.__name__}: FAILED {type(e).__name__}", 0, 0))
+            print(f"{fn.__name__} FAILED: {e}", flush=True)
+
+    with open("BENCH_FAMILIES.md", "w") as f:
+        f.write("# Per-family TPU train-step benchmarks (1x v5e chip)\n\n")
+        f.write("Full fused train iteration (all phases/optimizers) per family.\n\n")
+        f.write("| workload | ms/step | images/sec |\n|---|---|---|\n")
+        for label, ms, ips in rows:
+            f.write(f"| {label} | {ms:.2f} | {ips:.1f} |\n")
+    print("wrote BENCH_FAMILIES.md")
+
+
+if __name__ == "__main__":
+    main()

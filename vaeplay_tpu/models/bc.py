@@ -124,6 +124,25 @@ def host_contours(mask_probs: jnp.ndarray, max_points: int):
     return pts, counts
 
 
+def make_embedding_tensor(
+    pts: jnp.ndarray,     # (B, max_points, 2) [x, y] int-valued coords
+    counts: jnp.ndarray,  # (B,)
+    height: int, width: int,
+) -> jnp.ndarray:
+    """One-hot per-point spatial embedding planes — the reference's unused
+    CASE 2 pathway (make_embeding_tensor, networks_BC.py:39-52), provided for
+    API completeness: returns (B, max_points, H, W) with a 1 at each valid
+    point's (y, x)."""
+    b, mp, _ = pts.shape
+    xs = jnp.clip(pts[..., 0].astype(jnp.int32), 0, width - 1)
+    ys = jnp.clip(pts[..., 1].astype(jnp.int32), 0, height - 1)
+    valid = (jnp.arange(mp)[None, :] < counts[:, None])
+    flat = ys * width + xs
+    planes = jax.nn.one_hot(flat, height * width, dtype=jnp.float32)
+    planes = planes * valid[..., None]
+    return planes.reshape(b, mp, height, width)
+
+
 def resample_feature_batched(
     feature: jnp.ndarray,  # (B, Hf, Wf, C) padded + coord-augmented
     pts: jnp.ndarray,      # (B, max_points, 2) [x, y] in *full-res* coords
