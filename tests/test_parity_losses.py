@@ -1,0 +1,147 @@
+"""Loss-library parity vs the reference tools/ops.py, imported read-only.
+
+tools/ops.py only *uses* numpy/torch math, but tools/utils.py (which it
+imports for angle_between) pulls in cv2/torchvision/skimage that don't exist
+here — they're stubbed with empty modules so the reference loss functions run
+unmodified.
+"""
+
+import os
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_ops():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference not mounted")
+    # stub the unavailable native-vision deps used by tools/utils.py imports
+    for name in ("cv2", "rdp"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.measure = types.ModuleType("skimage.measure")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = sk.measure
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tf = types.ModuleType("torchvision.transforms")
+        tff = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tf
+        tf.functional = tff
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tf
+        sys.modules["torchvision.transforms.functional"] = tff
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import tools.ops as ops  # reference, read-only
+    return ops
+
+
+from vaeplay_tpu.ops import losses as L  # noqa: E402
+
+
+def test_dice_parity(ref_ops):
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(4, 16, 16)).astype(np.float32)
+    b = (rng.uniform(size=(4, 16, 16)) > 0.5).astype(np.float32)
+    expected = float(ref_ops.compute_dice_loss(torch.from_numpy(a), torch.from_numpy(b)))
+    got = float(L.dice_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_edge_loss_parity(ref_ops):
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 1, 12, 12)).astype(np.float32)
+    targets = (rng.uniform(size=(2, 1, 12, 12)) > 0.5).astype(np.float32)
+    expected = float(ref_ops.edge_loss(torch.from_numpy(logits), torch.from_numpy(targets)))
+    got = float(L.edge_loss(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)),
+        jnp.asarray(targets.transpose(0, 2, 3, 1)),
+    ))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_hinge_parity(ref_ops):
+    logit = np.asarray([0.4, -1.2, 2.5], np.float32)
+    for mode in ("d_real", "d_fake", "g"):
+        expected = float(ref_ops.compute_hinge_loss(torch.from_numpy(logit), mode))
+        got = float(L.hinge_loss(jnp.asarray(logit), mode))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_ellipse_param_loss_parity(ref_ops):
+    rng = np.random.default_rng(2)
+    preds = rng.normal(size=(4, 5)).astype(np.float32)
+    gt = rng.normal(size=(4, 5)).astype(np.float32)
+    expected = ref_ops.compute_ellipse_param_loss(
+        torch.from_numpy(preds.copy()), torch.from_numpy(gt.copy()))
+    got = L.ellipse_param_loss(jnp.asarray(preds), jnp.asarray(gt))
+    for k in ("loss_cx", "loss_cy", "loss_rest"):
+        np.testing.assert_allclose(float(got[k]), float(expected[k]), rtol=1e-5)
+
+
+def test_pt_regression_parity(ref_ops):
+    """Masked fixed-capacity chamfer == the reference's ragged-list version
+    when every sample has the same (full) point counts."""
+    rng = np.random.default_rng(3)
+    B, N, M, K = 3, 9, 11, 5
+    pred = rng.normal(size=(B, N, 2)).astype(np.float32)
+    reg = rng.normal(size=(B, N, 2)).astype(np.float32)
+    tgt = rng.normal(size=(B, M, 2)).astype(np.float32)
+    key = rng.normal(size=(B, K, 2)).astype(np.float32)
+    expected = float(ref_ops.compute_pt_regression_loss(
+        [torch.from_numpy(pred[i]) for i in range(B)],
+        torch.from_numpy(reg.copy()),
+        [torch.from_numpy(tgt[i]) for i in range(B)],
+        [torch.from_numpy(key[i]) for i in range(B)],
+    ))
+    ones = lambda *s: jnp.ones(s)
+    got = float(L.chamfer_pt_regression_loss(
+        jnp.asarray(pred), ones(B, N), jnp.asarray(reg),
+        jnp.asarray(tgt), ones(B, M), jnp.asarray(key), ones(B, K)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_ellipse_pt_loss_parity(ref_ops):
+    """Fixed-shape trigger/param loss == the reference's per-image-list
+    version (tools/ops.py:83-166)."""
+    rng = np.random.default_rng(4)
+    B, S, D = 2, 64, 720
+    triggers = rng.normal(size=(B, S, 2)).astype(np.float32)
+    line = rng.normal(size=(B, S, 4)).astype(np.float32)
+    # sample rows: px, py, dpx, dpy, index, radian
+    idx = np.stack([rng.choice(D, size=S, replace=False) for _ in range(B)])
+    sample = np.concatenate([
+        rng.normal(size=(B, S, 4)).astype(np.float32),
+        idx[..., None].astype(np.float32),
+        rng.uniform(0, 2 * np.pi, size=(B, S, 1)).astype(np.float32),
+    ], axis=-1)
+    gt = rng.normal(size=(B, D, 6)).astype(np.float32)
+    gt[..., 0] = (rng.uniform(size=(B, D)) > 0.5).astype(np.float32)
+
+    preds = {
+        "if_triggers": [torch.from_numpy(triggers[i]) for i in range(B)],
+        "line_params": [torch.from_numpy(line[i]) for i in range(B)],
+        "sample_infos": {
+            "size": [S] * B,
+            "sample": [torch.from_numpy(sample[i]) for i in range(B)],
+        },
+    }
+    expected = ref_ops.compute_ellipse_pt_loss(
+        preds, torch.from_numpy(gt.copy()))
+    got = L.ellipse_pt_loss(
+        jnp.asarray(triggers), jnp.asarray(line),
+        jnp.asarray(sample[..., :5]), jnp.asarray(gt))
+    np.testing.assert_allclose(float(got["trig_loss"]),
+                               float(expected["trig_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(got["param_loss"]),
+                               float(expected["param_loss"]), rtol=1e-4)

@@ -275,25 +275,57 @@ def bench_style_gan():
     return f"Style_GAN 256px z512 bs{BS} (half reference batch)", dt, BS
 
 
-def main():
-    rows = []
-    for fn in (bench_vae, bench_be, bench_be_gan, bench_bp, bench_bc,
-               bench_bcp, bench_be_font, bench_style_gan):
-        try:
-            label, dt, bs = fn()
-            rows.append((label, dt * 1000, bs / dt))
-            print(f"{label}: {dt*1000:.2f} ms/step, {bs/dt:.1f} img/s", flush=True)
-        except Exception as e:
-            rows.append((f"{fn.__name__}: FAILED {type(e).__name__}", 0, 0))
-            print(f"{fn.__name__} FAILED: {e}", flush=True)
+FAMILIES = {
+    "vae": bench_vae, "be": bench_be, "be_gan": bench_be_gan, "bp": bench_bp,
+    "bc": bench_bc, "bcp": bench_bcp, "be_font": bench_be_font,
+    "style_gan": bench_style_gan,
+}
 
-    with open("BENCH_FAMILIES.md", "w") as f:
+
+def main():
+    """With a family arg: run that benchmark and print one JSON line.  With no
+    args: spawn one subprocess per family (compiled TPU programs occupy HBM
+    and accumulate within a process) and write BENCH_FAMILIES.md."""
+    import json as _json
+    import subprocess
+
+    if len(sys.argv) > 1:
+        label, dt, bs = FAMILIES[sys.argv[1]]()
+        print("BENCH_RESULT " + _json.dumps(
+            {"label": label, "ms": dt * 1000, "ips": bs / dt}))
+        return
+
+    rows = []
+    for name in FAMILIES:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("BENCH_RESULT ")]
+            if line:
+                r = _json.loads(line[0][len("BENCH_RESULT "):])
+                rows.append((r["label"], r["ms"], r["ips"]))
+                print(f"{r['label']}: {r['ms']:.2f} ms/step, "
+                      f"{r['ips']:.1f} img/s", flush=True)
+            else:
+                rows.append((f"{name}: FAILED", 0, 0))
+                print(f"{name} FAILED:\n{out.stdout[-500:]}\n{out.stderr[-500:]}",
+                      flush=True)
+        except Exception as e:
+            rows.append((f"{name}: FAILED {type(e).__name__}", 0, 0))
+            print(f"{name} FAILED: {e}", flush=True)
+
+    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "BENCH_FAMILIES.md")
+    with open(md, "w") as f:
         f.write("# Per-family TPU train-step benchmarks (1x v5e chip)\n\n")
         f.write("Full fused train iteration (all phases/optimizers) per family.\n\n")
         f.write("| workload | ms/step | images/sec |\n|---|---|---|\n")
         for label, ms, ips in rows:
             f.write(f"| {label} | {ms:.2f} | {ips:.1f} |\n")
-    print("wrote BENCH_FAMILIES.md")
+    print(f"wrote {md}")
 
 
 if __name__ == "__main__":

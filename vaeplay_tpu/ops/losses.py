@@ -199,9 +199,11 @@ def ellipse_pt_loss(
     ce_non = masked_mean(ce, ~trig_lbl)
     trig_loss = ce_trig + ce_non
     probs = jax.nn.softmax(pred_triggers, axis=-1)
-    # dice over the flattened set, matching the reference's concatenated view
-    d0 = dice_loss(probs[..., 0].reshape(1, -1), (1.0 - trig_t).reshape(1, -1))
-    d1 = dice_loss(probs[..., 1].reshape(1, -1), trig_t.reshape(1, -1))
+    # the reference feeds the concatenated (sum S,) vector into
+    # compute_dice_loss, whose per-sample flatten makes it a PER-ELEMENT dice
+    # averaged over points (tools/ops.py:12-19 with nums = sum S)
+    d0 = dice_loss(probs[..., 0].reshape(-1, 1), (1.0 - trig_t).reshape(-1, 1))
+    d1 = dice_loss(probs[..., 1].reshape(-1, 1), trig_t.reshape(-1, 1))
     trig_loss = (trig_loss + (d0 + d1) / 2.0) * 2.0
 
     l1 = jnp.abs(pred_line_params - tgt_param)
