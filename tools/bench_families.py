@@ -146,9 +146,9 @@ def bench_bc():
     from vaeplay_tpu.models.bc import ComposeNet
     from vaeplay_tpu.ops.contour import batch_find_contours
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
-    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step
+    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step, unpack_mask_bits
 
-    IMG, BS, MP = 256, 32, 256
+    IMG, BS, MP = 256, 32, 128  # MP=256 refine FC (545M params) + Adam exceeds single-chip HBM at f32
     model = ComposeNet(max_points=MP)
     v = jit_init(model, {"params": jax.random.PRNGKey(0)},
                  jnp.zeros((1, IMG, IMG, 3)))
@@ -165,8 +165,8 @@ def bench_bc():
 
     def run(*a):
         if external:
-            probs = np.asarray(mask_step(holder["s"], a[0]))
-            pts, counts = batch_find_contours(probs[..., 0], MP)
+            masks = unpack_mask_bits(mask_step(holder["s"], a[0]), IMG + 2)
+            pts, counts = batch_find_contours(masks, MP)
             holder["s"], m = step(holder["s"], a[0], jnp.asarray(pts),
                                   jnp.asarray(counts), *a[1:])
         else:
@@ -174,7 +174,7 @@ def bench_bc():
         return m
 
     dt = timeit(run, base, warmup=2, iters=5)
-    return f"BC 256px bs{BS} {MP}pts (reference default){' [ext bridge]' if external else ''}", dt, BS
+    return f"BC 256px bs{BS} {MP}pts (reference batch, 128pts){' [ext bridge]' if external else ''}", dt, BS
 
 
 def bench_bcp():

@@ -14,7 +14,7 @@ from vaeplay_tpu.models.bc import ComposeNet
 from vaeplay_tpu.ops.contour import batch_find_contours
 from vaeplay_tpu.train.checkpoint import Checkpointer
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
-from vaeplay_tpu.train.steps_bc import make_bc_mask_step
+from vaeplay_tpu.train.steps_bc import make_bc_mask_step, unpack_mask_bits
 from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
 from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
@@ -62,8 +62,8 @@ def main(argv=None):
     batch = ds.sample_batch(args.batchsize)
     imgs = jnp.asarray(batch["imgs"])
     if external:
-        probs = np.asarray(mask_step(state, imgs))
-        pts, counts = batch_find_contours(probs[..., 0], args.max_points)
+        masks = unpack_mask_bits(mask_step(state, imgs), args.img_size + 2)
+        pts, counts = batch_find_contours(masks, args.max_points)
         contours = (jnp.asarray(pts), jnp.asarray(counts))
     else:
         contours = None

@@ -19,7 +19,7 @@ from vaeplay_tpu.train.checkpoint import Checkpointer
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, path_labeled_transform
 from vaeplay_tpu.ops.contour import batch_find_contours
-from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step
+from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step, unpack_mask_bits
 from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -112,9 +112,10 @@ def main(argv=None):
                 b["tgt_mask"], b["key_pts"], b["key_mask"],
             ))
             if external:
-                probs = np.asarray(mask_step(state, tensors[0]))
+                packed = mask_step(state, tensors[0])
+                masks = unpack_mask_bits(packed, args.img_size + 2)
                 pts, counts = batch_find_contours(
-                    probs[..., 0], max_points=args.max_points, threshold=0.5)
+                    masks, max_points=args.max_points, threshold=0.5)
                 pts_d, counts_d = shard_batch(mesh, (pts, counts))
                 tensors = (tensors[0], pts_d, counts_d) + tensors[1:]
             state, acc, cnt = astep(state, acc, cnt, *tensors)

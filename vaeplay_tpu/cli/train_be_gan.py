@@ -70,8 +70,8 @@ def main(argv=None):
     )
     mesh = create_mesh()
     gs = replicate(mesh, GanState(g=g, d=d))
-    step = make_be_gan_train_step(g_model, d_model)
-    astep = accumulating(step)
+    step = make_be_gan_train_step(g_model, d_model)  # two-program split
+    astep = accumulating(step, fuse=False)
     ckpt = Checkpointer(args.model_output)
 
     if args.path:

@@ -24,7 +24,7 @@ with fixed-capacity (max_points, mask) point sets.
 """
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,31 @@ class MaskNet(nn.Module):
         return x
 
 
+class OneChannelConv3x3(nn.Module):
+    """Learned 1→1-channel 3x3 conv computed as 9 shifted multiplies on the
+    squeezed (B, H, W) map — same kernel/bias parameters and exact values as
+    the plain conv, but without the 128x lane padding TPU applies to
+    C=1 convs at full resolution."""
+
+    activate: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        from vaeplay_tpu.core import init as vinit
+        from vaeplay_tpu.core.layers import apply_activation
+
+        k = self.param("kernel", vinit.conv_kaiming, (3, 3, 1, 1))
+        bias = self.param("bias", vinit.zeros, (1,))
+        y = x[..., 0]
+        h, w = y.shape[1], y.shape[2]
+        p = jnp.pad(y, ((0, 0), (1, 1), (1, 1)))
+        out = bias[0]
+        for dy in range(3):
+            for dx in range(3):
+                out = out + k[dy, dx, 0, 0] * p[:, dy:dy + h, dx:dx + w]
+        return apply_activation(out[..., None], self.activate, lrelu_slope=0.02)
+
+
 class EdgeNet(nn.Module):
     """Operates on the 1-channel mask logits (networks_BC.py:131-147)."""
 
@@ -70,11 +95,10 @@ class EdgeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        c = self.in_channel
         for i in range(3):
-            x = ConvBlock(c, 3, name=f"c{i}")(x, train=train)
-        x = ConvBlock(c, 3, activate=None, name="p0")(x, train=train)
-        x = ConvBlock(c, 3, activate=None, name="p1")(x, train=train)
+            x = OneChannelConv3x3(name=f"c{i}")(x, train=train)
+        x = OneChannelConv3x3(activate=None, name="p0")(x, train=train)
+        x = OneChannelConv3x3(activate=None, name="p1")(x, train=train)
         return x
 
 
@@ -216,3 +240,22 @@ class ComposeNet(nn.Module):
         feature = self.feature_net(x, train=train)
         mask_out = self.mask_net(feature, train=train)
         return jnp.pad(jax.nn.sigmoid(mask_out), ((0, 0), (p, p), (p, p), (0, 0)))
+
+    def mask_binary(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """Stage A returning the padded 0.5-thresholded mask as uint8 —
+        4x less device→host traffic for the external-contour bridge (the
+        tunnel transfer dominates the bridge cost)."""
+        return (self.mask_probs(x, train=train) >= 0.5).astype(jnp.uint8)
+
+    def mask_bits(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """Stage A returning the thresholded mask BIT-PACKED along the width
+        axis (np.unpackbits-compatible, 32x less transfer than f32): output
+        (B, Hp, ceil(Wp/8)) uint8."""
+        binary = self.mask_binary(x, train=train)[..., 0]  # (B, Hp, Wp)
+        b, h, w = binary.shape
+        pad_w = (-w) % 8
+        if pad_w:
+            binary = jnp.pad(binary, ((0, 0), (0, 0), (0, pad_w)))
+        bits = binary.reshape(b, h, -1, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)

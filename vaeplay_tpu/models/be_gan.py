@@ -16,7 +16,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vaeplay_tpu.core.layers import ConvBlock, DenseBlock, Up
+from vaeplay_tpu.core.layers import ConvBlock, DenseBlock, SmallChannelConv3x3S2, Up
 from vaeplay_tpu.models.backbone import ResNetFPN
 from vaeplay_tpu.models.be import EdgeNet, MaskNet
 
@@ -51,7 +51,10 @@ class MaskMapper(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, m: jnp.ndarray, train: bool = True):
         y = jnp.concatenate([x, m], axis=-1)
-        y = ConvBlock(16, 3, stride=2, activate="lrelu", name="conv0")(y, train=train)
+        # 2-channel stem via the space-to-depth formulation: the generator
+        # phase needs input gradients through this conv, which are lane-
+        # padded 64x in the naive layout (see SmallChannelConv3x3S2)
+        y = SmallChannelConv3x3S2(16, activate="lrelu", name="conv0")(y, train=train)
         y = ConvBlock(32, 3, stride=2, activate="lrelu", name="conv1")(y, train=train)
         repeat_num = int(math.log2(self.in_size // 16)) - 2
         if repeat_num < 1:

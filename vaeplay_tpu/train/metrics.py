@@ -12,10 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
-def accumulating(step_fn: Callable) -> Callable:
+def accumulating(step_fn: Callable, fuse: bool = True) -> Callable:
     """Wrap a (state, *args) -> (state, metrics) step into
     (state, acc, count, *args) -> (state, acc', count') with acc' = acc +
-    metrics computed inside one jit program.  Pass acc=None to start."""
+    metrics accumulated on device.  Pass acc=None to start.
+
+    fuse=True compiles the step + accumulation as one program; use
+    fuse=False for steps that are deliberately multiple programs (e.g. the
+    memory-split GAN phases) — the accumulation then runs as its own tiny
+    jitted add."""
+
+    @jax.jit
+    def _acc(acc, count, metrics):
+        return jax.tree_util.tree_map(jnp.add, acc, metrics), count + 1
 
     @jax.jit
     def wrapped(state, acc, count, *args):
@@ -29,7 +38,11 @@ def accumulating(step_fn: Callable) -> Callable:
                 lambda _: jnp.zeros((), jnp.float32), _metric_template(step_fn, state, args)
             )
             count = jnp.zeros((), jnp.int32)
-        return wrapped(state, acc, count, *args)
+        if fuse:
+            return wrapped(state, acc, count, *args)
+        state, metrics = step_fn(state, *args)
+        acc, count = _acc(acc, count, metrics)
+        return state, acc, count
 
     return call
 

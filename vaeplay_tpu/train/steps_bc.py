@@ -73,19 +73,30 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
 
 
 def make_bc_mask_step(model):
-    """Stage A for external-contour mode: jit (state, imgs) → padded sigmoid
-    mask probs (train-mode statistics, batch_stats updates discarded — the
-    contour source matches the training forward's mask, networks_BC.py:217)."""
+    """Stage A for external-contour mode: jit (state, imgs) → bit-packed
+    thresholded mask (train-mode statistics, batch_stats updates discarded —
+    the contour source matches the training forward's mask,
+    networks_BC.py:217).  Returned packed array unpacks with
+    `unpack_mask_bits` before the host contour trace; packing cuts the
+    device→host tunnel transfer 32x vs f32 probabilities."""
 
     @jax.jit
     def mask_step(state: TrainState, imgs):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if state.constants:
             variables["constants"] = state.constants
-        probs, _ = model.apply(
-            variables, imgs, train=True, method=model.mask_probs,
+        packed, _ = model.apply(
+            variables, imgs, train=True, method=model.mask_bits,
             mutable=["batch_stats"],
         )
-        return probs
+        return packed
 
     return mask_step
+
+
+def unpack_mask_bits(packed, width: int):
+    """(B, H, W/8) uint8 → (B, H, width) float32 binary masks on the host."""
+    import numpy as np
+
+    bits = np.unpackbits(np.asarray(packed), axis=-1)
+    return bits[:, :, :width].astype(np.float32)

@@ -30,8 +30,16 @@ class GanState(struct.PyTreeNode):
     d: TrainState
 
 
-def make_be_gan_train_step(g_model, d_model):
-    """jit (gan_state, imgs, bimgs, eimgs, labels) -> (gan_state, metrics)."""
+def make_be_gan_train_step(g_model, d_model, split: bool = True):
+    """(gan_state, imgs, bimgs, eimgs, labels) -> (gan_state, metrics).
+
+    With split=True (default) the D and G phases compile as TWO programs
+    called back to back: at the reference 512px/bs16 workload the fused
+    single program needs ~13GB of HLO temps against 15.75GB HBM and XLA's
+    memory-pressure scheduling makes it ~45x slower than the same FLOPs in
+    the BE step; splitting halves peak temps and restores full speed.  The
+    numerics are identical — the phases are sequential either way.
+    """
 
     def g_apply(params, batch_stats, constants, imgs):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -46,10 +54,9 @@ def make_be_gan_train_step(g_model, d_model):
         )
 
     @jax.jit
-    def train_step(gs: GanState, imgs, bimgs, eimgs, labels):
+    def d_phase(gs: GanState, imgs, bimgs, eimgs, labels):
         g, d = gs.g, gs.d
-
-        # ---- D phase: G forward without gradients (BN stats advance)
+        # G forward without gradients (BN stats advance, train_BE_GAN.py:131-134)
         preds, mutg = g_apply(g.params, g.batch_stats, g.constants, imgs)
         g = g.replace(batch_stats=mutg["batch_stats"])
         pred_masks = jax.nn.sigmoid(jax.lax.stop_gradient(preds["masks"]))
@@ -68,8 +75,12 @@ def make_be_gan_train_step(g_model, d_model):
             d.params, d.batch_stats
         )
         d = d.apply_gradients(d_grads, new_batch_stats=d_bs)
+        return GanState(g=g, d=d), {"d_adv_loss": d_adv, "d_type_loss": d_type}
 
-        # ---- G phase against the updated D
+    @jax.jit
+    def g_phase(gs: GanState, imgs, bimgs, eimgs, labels):
+        g, d = gs.g, gs.d
+
         def g_loss_fn(g_params, g_bs, d_bs):
             preds, mutg2 = g_apply(g_params, g_bs, g.constants, imgs)
             pm, pe = preds["masks"], preds["edges"]
@@ -97,7 +108,22 @@ def make_be_gan_train_step(g_model, d_model):
         )
         g = g.apply_gradients(g_grads, new_batch_stats=g_bs2)
         d = d.replace(batch_stats=d_bs2)
-        metrics = {"d_adv_loss": d_adv, "d_type_loss": d_type, **gm}
-        return GanState(g=g, d=d), metrics
+        return GanState(g=g, d=d), gm
 
+    if not split:
+        @jax.jit
+        def fused(gs, imgs, bimgs, eimgs, labels):
+            gs, dm = d_phase(gs, imgs, bimgs, eimgs, labels)
+            gs, gm = g_phase(gs, imgs, bimgs, eimgs, labels)
+            return gs, {**dm, **gm}
+
+        return fused
+
+    def train_step(gs, imgs, bimgs, eimgs, labels):
+        gs, dm = d_phase(gs, imgs, bimgs, eimgs, labels)
+        gs, gm = g_phase(gs, imgs, bimgs, eimgs, labels)
+        return gs, {**dm, **gm}
+
+    train_step.d_phase = d_phase  # exposed for profiling
+    train_step.g_phase = g_phase
     return train_step
