@@ -9,6 +9,12 @@ Per iteration (three optimizers, Adam 1e-4):
   accumulate ordering, :231-238).
   D phase: BCE/CE on (x_target→real, stop_grad(x_rec)→fake), averaged.
 All in one jit program.
+
+The reference also contains a legacy `train_style_transfer` path
+(train_Style_GAN.py:39-154) that is never invoked from __main__ (:354), and
+whose companion __main__ smoke block calls constructors with stale signatures
+(network_Style_GAN.py:232-257 would crash if run) — dead code, intentionally
+not reproduced.
 """
 
 from typing import Dict
