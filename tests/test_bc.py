@@ -72,3 +72,83 @@ def test_synthetic_bc_targets():
     assert b["key_mask"].sum() > 0
     # key contour is a subset-ish simplification: fewer points than full
     assert b["key_mask"].sum() <= b["tgt_mask"].sum()
+
+
+def test_refine_fc_bf16_parity():
+    """The bfloat16 FC working point (the reference's 256-pt capacity on one
+    chip) must agree with f32 to ~1e-2 relative on identical weights."""
+    from vaeplay_tpu.models.bc import RefineNet
+
+    mp, feat = 16, 34
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, mp, feat), jnp.float32) * 0.3
+    m32 = RefineNet(max_points=mp, feat_size=feat)
+    v = m32.init({"params": key}, x, train=False)
+    m16 = RefineNet(max_points=mp, feat_size=feat, fc_dtype="bfloat16")
+    p16 = jax.tree_util.tree_map(lambda a: a, v["params"])
+    for name in ("fc0", "fc1"):
+        p16[name] = {k: a.astype(jnp.bfloat16) for k, a in p16[name].items()}
+    y32 = m32.apply(v, x, train=False)
+    y16 = m16.apply({**v, "params": p16}, x, train=False)
+    assert y16.dtype == jnp.float32  # cast back at the boundary
+    scale = float(jnp.abs(y32).max()) + 1e-6
+    rel = float(jnp.abs(y32 - y16).max()) / scale
+    assert rel < 1e-2, rel
+
+
+def test_strided_mask_bits_trace_accuracy():
+    """Stride-4 bit-packed stage-A output traces to the same contour as the
+    full-resolution mask within the stride quantization."""
+    from vaeplay_tpu.models.bc import pack_mask_bits
+    from vaeplay_tpu.ops.contour import batch_find_contours
+    from vaeplay_tpu.train.steps_bc import unpack_mask_bits
+
+    h = w = 128
+    ys, xs = np.mgrid[0:h, 0:w]
+    mask = ((((xs - 66.0) / 40.0) ** 2 + ((ys - 60.0) / 30.0) ** 2) <= 1.0)
+    mask = mask.astype(np.uint8)[None]
+
+    def roundtrip(m, stride):
+        sub = m[:, ::stride, ::stride]
+        packed = np.asarray(pack_mask_bits(jnp.asarray(sub)))
+        rec = unpack_mask_bits(packed, sub.shape[2])
+        np.testing.assert_array_equal(rec, sub.astype(np.float32))
+        pts, counts = batch_find_contours(rec, max_points=256)
+        return pts[0, :counts[0]] * stride, counts[0]
+
+    full, n_full = roundtrip(mask, 1)
+    coarse, n_coarse = roundtrip(mask, 4)
+    assert n_full > 0 and n_coarse > 0
+    d = np.hypot(coarse[:, None, 0] - full[None, :, 0],
+                 coarse[:, None, 1] - full[None, :, 1]).min(axis=1)
+    assert d.max() <= 4 * 1.5 + 1.0, d.max()
+
+
+def test_bc_external_bridge_train_step(bc_state):
+    """The two-program strided bridge end to end: stage A (stride 4) →
+    host trace → external train step, finite losses."""
+    from vaeplay_tpu.ops.contour import batch_find_contours
+    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, unpack_mask_bits
+
+    model, state = bc_state
+    ds = SyntheticBCDataset(img_size=IMG, max_points=MP)
+    b = ds.sample_batch(2)
+    imgs = jnp.asarray(b["imgs"])
+    stride = 4
+    mask_step = make_bc_mask_step(model, stride=stride)
+    packed = mask_step(state, imgs)
+    mask_w = -(-(IMG + 2) // stride)
+    masks = unpack_mask_bits(packed, mask_w)
+    assert masks.shape == (2, mask_w, mask_w)
+    pts, counts = batch_find_contours(masks, max_points=MP, threshold=0.5)
+    pts = pts * np.float32(stride)
+    step = make_bc_train_step(model, max_points=MP, external_contours=True)
+    state2, metrics = step(
+        state, imgs, jnp.asarray(pts), jnp.asarray(counts),
+        jnp.asarray(b["bimgs"]), jnp.asarray(b["eimgs"]),
+        jnp.asarray(b["tgt_pts"]), jnp.asarray(b["tgt_mask"]),
+        jnp.asarray(b["key_pts"]), jnp.asarray(b["key_mask"]),
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state2.step) == int(state.step) + 1

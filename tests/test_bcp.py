@@ -93,3 +93,73 @@ def test_eval_contour_extraction():
     assert pts.shape == (2, P, 2)
     assert counts.max() > 0
     assert np.abs(pts).max() <= 1.0 + 1e-6
+
+
+def test_joint_augmentation_correspondence():
+    """The BCP augmentation must apply the SAME affine to the image and the
+    annotation points (reference dataset.py:546-620): augment a rendered
+    ellipse whose annotation points lie on its contour, re-extract the contour
+    from the augmented image, and assert every augmented point still lies on
+    it (within nearest-warp + trace discretization)."""
+    from vaeplay_tpu.data.bcp_data import augment_points_sample
+    from vaeplay_tpu.ops.contour import find_contour
+
+    h = w = 96
+    ys, xs = np.mgrid[0:h, 0:w]
+    mask = ((((xs - 48.0) / 30.0) ** 2 + ((ys - 44.0) / 22.0) ** 2) <= 1.0)
+    img = np.stack([mask, mask, mask], axis=-1).astype(np.float32)
+    cnt = find_contour(mask.astype(np.float32))          # (N, 2) [x, y]
+    pts = np.zeros((len(cnt), 6), np.float32)
+    pts[:, 0:2] = cnt
+    pts[:, 2:4] = cnt                                     # ex, ey = sx, sy
+    pts[:, 5] = 1.0                                       # all key points
+
+    hit = 0
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        aug_img, aug_pts = augment_points_sample(img.copy(), pts.copy(),
+                                                 max_points=4096, rng=rng)
+        assert len(aug_pts) > 0
+        new_cnt = find_contour(aug_img[..., 0])
+        if len(new_cnt) == 0:
+            continue
+        # augmented points are normalized to [-1, 1]; back to pixels
+        px = (aug_pts[:, 0] * 0.5 + 0.5) * h
+        py = (aug_pts[:, 1] * 0.5 + 0.5) * h
+        d = np.hypot(px[:, None] - new_cnt[None, :, 0],
+                     py[:, None] - new_cnt[None, :, 1]).min(axis=1)
+        # nearest-neighbour warp + marching-squares discretization: ~2px
+        assert np.quantile(d, 0.95) <= 2.5, (seed, np.quantile(d, 0.95))
+        assert d.mean() <= 1.5, (seed, d.mean())
+        hit += 1
+    assert hit >= 6  # nearly all seeds must exercise a nonzero-offset affine
+
+
+def test_augmentation_uses_translation():
+    """The random offset must actually translate the image (round-1 bug:
+    points moved, image did not)."""
+    from vaeplay_tpu.data.bcp_data import augment_points_sample
+
+    h = w = 64
+    ys, xs = np.mgrid[0:h, 0:w]
+    blob = (((xs - 32.0) ** 2 + (ys - 32.0) ** 2) <= 9.0 ** 2)
+    img = np.stack([blob] * 3, axis=-1).astype(np.float32)
+    pts = np.zeros((4, 6), np.float32)
+    pts[:, 0:2] = [[32, 23], [41, 32], [32, 41], [23, 32]]
+    pts[:, 2:4] = pts[:, 0:2]
+    moved = 0
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        aug_img, aug_pts = augment_points_sample(img.copy(), pts.copy(),
+                                                 max_points=64, rng=rng,
+                                                 rotate=False)
+        ys2, xs2 = np.nonzero(aug_img[..., 0])
+        cx, cy = xs2.mean(), ys2.mean()
+        if abs(cx - 32.0) > 2 or abs(cy - 32.0) > 2:
+            moved += 1
+            # the point centroid must track the blob centroid
+            px = (aug_pts[:, 0] * 0.5 + 0.5) * h
+            py = (aug_pts[:, 1] * 0.5 + 0.5) * h
+            assert abs(abs(px.mean() - w / 2) - abs(cx - w / 2)) < 2.0
+            assert abs(abs(py.mean() - h / 2) - abs(cy - h / 2)) < 2.0
+    assert moved >= 3

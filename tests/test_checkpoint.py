@@ -45,3 +45,83 @@ def test_run_dir_layout():
         p = make_run_dir(d, "BE", timestamp="20990101-000000")
         assert p == os.path.join(d, "BE", "20990101-000000")
         assert os.path.isdir(p)
+
+
+def _toy_train_state(seed: float, with_bn: bool = True, tx=None):
+    import optax
+    from vaeplay_tpu.train.state import torch_adam
+
+    params = {"net": {"kernel": jnp.full((3, 4), seed), "bias": jnp.full((4,), -seed)}}
+    bn = {"net": {"mean": jnp.full((4,), seed * 2)}} if with_bn else None
+    return TrainState.create(None, params, bn, tx or torch_adam(1e-3))
+
+
+def _assert_states_equal(a, b):
+    from flax import serialization
+
+    # compare the dynamic state only (tx/apply_fn statics differ by identity)
+    flat1, tdef1 = jax.tree_util.tree_flatten(serialization.to_state_dict(a))
+    flat2, tdef2 = jax.tree_util.tree_flatten(serialization.to_state_dict(b))
+    assert tdef1 == tdef2
+    for x, y in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _roundtrip(state, make_fresh):
+    from vaeplay_tpu.train.checkpoint import restore_state, save_state
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = Checkpointer(d)
+        save_state(ck, 7, state)
+        restored, tag = restore_state(d, make_fresh())
+        assert tag == 7
+        _assert_states_equal(state, restored)
+
+
+def test_save_restore_trainstate_without_batch_stats():
+    """BP-style state (batch_stats=None) survives the uniform helpers."""
+    _roundtrip(_toy_train_state(3.0, with_bn=False),
+               lambda: _toy_train_state(0.0, with_bn=False))
+
+
+def test_save_restore_gan_state():
+    """GanState (BE_GAN/BCP): both nets' params AND optimizer states resume
+    (round-1 gap: cli/train_be_gan dropped opt_state)."""
+    from vaeplay_tpu.train.steps_be_gan import GanState
+
+    def make(seed):
+        return GanState(g=_toy_train_state(seed), d=_toy_train_state(seed + 1, with_bn=False))
+
+    # advance the G optimizer once so opt_state is nontrivial
+    gs = make(1.0)
+    grads = jax.tree_util.tree_map(jnp.ones_like, gs.g.params)
+    gs = gs.replace(g=gs.g.apply_gradients(grads))
+    _roundtrip(gs, lambda: make(0.0))
+
+
+def test_save_restore_font_state():
+    """FontState incl. the style-only multi_transform optimizer state."""
+    from vaeplay_tpu.train.steps_be_font import FontState, style_only_tx
+
+    def make(seed):
+        g = _toy_train_state(seed)
+        sp = {"style_encoder": {"w": jnp.full((2,), seed)},
+              "other": {"w": jnp.full((2,), seed)}}
+        s_tx = style_only_tx(1e-3)
+        g = g.replace(params=sp, opt_state=g.tx.init(sp))
+        return FontState(g=g, style_opt_state=s_tx.init(sp),
+                         d=_toy_train_state(seed + 2))
+
+    _roundtrip(make(5.0), lambda: make(0.0))
+
+
+def test_save_restore_style_gan_state():
+    """StyleGanState: three nets resume together."""
+    from vaeplay_tpu.train.steps_style_gan import StyleGanState
+
+    def make(seed):
+        return StyleGanState(e=_toy_train_state(seed, with_bn=False),
+                             g=_toy_train_state(seed + 1, with_bn=False),
+                             d=_toy_train_state(seed + 2, with_bn=False))
+
+    _roundtrip(make(2.0), lambda: make(0.0))

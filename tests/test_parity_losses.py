@@ -111,6 +111,35 @@ def test_pt_regression_parity(ref_ops):
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_pt_regression_parity_ragged(ref_ops):
+    """Ragged per-sample point counts (the normal BC case): samples must be
+    weighted equally (per-sample MSE means, then batch mean), and a sample
+    with zero predicted points must contribute exactly 0 (ops.py:43-45,63-65).
+    """
+    rng = np.random.default_rng(7)
+    B, N, M, K = 4, 12, 10, 6
+    ns, ms, ks = [5, 12, 0, 1], [7, 10, 4, 9], [2, 6, 3, 1]
+    pred = rng.normal(size=(B, N, 2)).astype(np.float32)
+    reg = rng.normal(size=(B, N, 2)).astype(np.float32)
+    tgt = rng.normal(size=(B, M, 2)).astype(np.float32)
+    key = rng.normal(size=(B, K, 2)).astype(np.float32)
+    expected = float(ref_ops.compute_pt_regression_loss(
+        [torch.from_numpy(pred[i, :ns[i]]) for i in range(B)],
+        torch.from_numpy(reg.copy()),
+        [torch.from_numpy(tgt[i, :ms[i]]) for i in range(B)],
+        [torch.from_numpy(key[i, :ks[i]]) for i in range(B)],
+    ))
+
+    def mask(lengths, cap):
+        return jnp.asarray(
+            np.arange(cap)[None, :] < np.asarray(lengths)[:, None], np.float32)
+
+    got = float(L.chamfer_pt_regression_loss(
+        jnp.asarray(pred), mask(ns, N), jnp.asarray(reg),
+        jnp.asarray(tgt), mask(ms, M), jnp.asarray(key), mask(ks, K)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
 def test_ellipse_pt_loss_parity(ref_ops):
     """Fixed-shape trigger/param loss == the reference's per-image-list
     version (tools/ops.py:83-166)."""

@@ -58,6 +58,33 @@ def bench_vae():
     return f"VAE-GAN 256px bs{BS}", dt, BS
 
 
+def bench_vae_bf16():
+    from vaeplay_tpu.data.circles import CircleDataset
+    from vaeplay_tpu.models.vae_gan import VaeGan
+    from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
+    from vaeplay_tpu.train.steps_vae import make_circle_train_step
+
+    IMG, BS = 256, 128
+    model = VaeGan(img_size=IMG, z_size=128)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                 jnp.zeros((2, IMG, IMG, 1)))
+    tx = grouped_transform({k: torch_rmsprop(1e-4) for k in
+                            ("encoder", "decoder", "discriminator", "param_encoder")},
+                           v["params"])
+    state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
+    step = make_circle_train_step(model, IMG, compute_dtype=jnp.bfloat16)
+    pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
+    holder = {"s": state}
+
+    def run(pb, rng):
+        holder["s"], m = step(holder["s"], pb, rng)
+        return m
+
+    dt = timeit(run, (pb, jax.random.PRNGKey(2)))
+    return f"VAE-GAN 256px bs{BS} [--dtype bf16]", dt, BS
+
+
 def bench_be():
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.be import ComposeNet
@@ -148,8 +175,13 @@ def bench_bc():
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
     from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step, unpack_mask_bits
 
-    IMG, BS, MP = 256, 32, 128  # MP=256 refine FC (545M params) + Adam exceeds single-chip HBM at f32
-    model = ComposeNet(max_points=MP)
+    # Reference working point: 256 points (networks_BC.py:25).  The 545M-param
+    # refine FC + its Adam state live in bf16 (f32 exceeds single-chip HBM);
+    # the external bridge runs strided (16x less transfer/trace) and OVERLAPPED:
+    # batch i+1's stage A + host trace run while batch i's train program is on
+    # the device (one-step-stale contours, --bridge overlap).
+    IMG, BS, MP, STRIDE = 256, 32, 256, 4
+    model = ComposeNet(max_points=MP, refine_fc_dtype="bfloat16")
     v = jit_init(model, {"params": jax.random.PRNGKey(0)},
                  jnp.zeros((1, IMG, IMG, 3)))
     state = TrainState.create(model.apply, v["params"], v["batch_stats"],
@@ -157,24 +189,32 @@ def bench_bc():
                               constants=v.get("constants"))
     external = not supports_host_callback()
     step = make_bc_train_step(model, max_points=MP, external_contours=external)
-    mask_step = make_bc_mask_step(model) if external else None
+    mask_step = make_bc_mask_step(model, stride=STRIDE) if external else None
+    mask_w = -(-(IMG + 2) // STRIDE)
     b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(BS)
     base = tuple(jnp.asarray(b[k]) for k in
                  ("imgs", "bimgs", "eimgs", "tgt_pts", "tgt_mask", "key_pts", "key_mask"))
-    holder = {"s": state}
+    holder = {"s": state, "pending": None}
 
     def run(*a):
         if external:
-            masks = unpack_mask_bits(mask_step(holder["s"], a[0]), IMG + 2)
-            pts, counts = batch_find_contours(masks, MP)
-            holder["s"], m = step(holder["s"], a[0], jnp.asarray(pts),
-                                  jnp.asarray(counts), *a[1:])
+            packed = mask_step(holder["s"], a[0])
+            m = packed
+            if holder["pending"] is not None:
+                masks = unpack_mask_bits(holder["pending"], mask_w)
+                pts, counts = batch_find_contours(masks, MP)
+                holder["s"], m = step(
+                    holder["s"], a[0],
+                    jnp.asarray(pts * np.float32(STRIDE)),
+                    jnp.asarray(counts), *a[1:])
+            holder["pending"] = packed
         else:
             holder["s"], m = step(holder["s"], *a)
         return m
 
-    dt = timeit(run, base, warmup=2, iters=5)
-    return f"BC 256px bs{BS} {MP}pts (reference batch, 128pts){' [ext bridge]' if external else ''}", dt, BS
+    dt = timeit(run, base, warmup=3, iters=10)
+    tag = " [ext bridge: overlap, stride4, bf16 refine]" if external else ""
+    return f"BC 256px bs{BS} {MP}pts (reference config){tag}", dt, BS
 
 
 def bench_bcp():
@@ -276,7 +316,8 @@ def bench_style_gan():
 
 
 FAMILIES = {
-    "vae": bench_vae, "be": bench_be, "be_gan": bench_be_gan, "bp": bench_bp,
+    "vae": bench_vae, "vae_bf16": bench_vae_bf16, "be": bench_be,
+    "be_gan": bench_be_gan, "bp": bench_bp,
     "bc": bench_bc, "bcp": bench_bcp, "be_font": bench_be_font,
     "style_gan": bench_style_gan,
 }

@@ -41,7 +41,8 @@ def main(argv=None):
     if args.model_path:
         ck = Checkpointer(args.model_path)
         restored = ck.restore(ck.latest())
-        state = state.replace(params=restored["G"]["params"])
+        g = restored.get("g") or restored["G"]  # new uniform / legacy layout
+        state = state.replace(params=g["params"])
 
     @jax.jit
     def forward(params, imgs, contours, counts):

@@ -38,8 +38,9 @@ def main(argv=None):
     if args.model_path:
         ck = Checkpointer(args.model_path)
         restored = ck.restore(ck.latest())
-        params = restored["net"]["params"]
-        batch_stats = restored["net"]["batch_stats"]
+        g = restored.get("g") or restored["net"]  # new uniform / legacy layout
+        params = g["params"]
+        batch_stats = g["batch_stats"]
 
     @jax.jit
     def forward(params, batch_stats, imgs, y_cls, y_style, use_y):

@@ -40,10 +40,11 @@ def main(argv=None):
         frozen_backbone_adam(1e-4), constants=variables.get("constants"))
     if args.model_path:
         ck = Checkpointer(args.model_path)
-        restored = ck.restore(ck.latest())  # dict with "G" (test_BE_GAN_manga.py:20-22)
-        state = state.replace(params=restored["G"]["params"],
-                              batch_stats=restored["G"]["batch_stats"],
-                              constants=restored["G"].get("constants", state.constants))
+        restored = ck.restore(ck.latest())  # generator subtree (test_BE_GAN_manga.py:20-22)
+        g = restored.get("g") or restored["G"]  # new uniform / legacy layout
+        state = state.replace(params=g["params"],
+                              batch_stats=g["batch_stats"],
+                              constants=g.get("constants", state.constants))
     eval_step = make_be_eval_step(model)
 
     for manga in sorted(os.listdir(args.path)):

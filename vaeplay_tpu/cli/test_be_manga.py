@@ -13,7 +13,8 @@ import numpy as np
 
 from vaeplay_tpu.cli.test_be import load_be_state
 from vaeplay_tpu.eval.manga import (
-    load_manga_from_annotation, load_manga_from_mask, paste_result_on_manga,
+    load_manga_from_annotation, load_manga_from_mask,
+    paste_edge_result_on_manga, paste_result_on_manga,
 )
 from vaeplay_tpu.train.steps_be import make_be_eval_step
 from vaeplay_tpu.utils.viz import makedirs
@@ -21,6 +22,10 @@ from vaeplay_tpu.utils.viz import makedirs
 
 def process_page(eval_step, state, img_path, anno_path, mask_path,
                  img_size, res_output, name):
+    """Annotation route (labelme boxes, ref main_annotation
+    test_BE_manga.py:414-462) when anno_path is given; otherwise the
+    connected-components mask route (ref main_mask :373-412), whose paste
+    takes edges from the prediction and content from the coarse mask."""
     if anno_path:
         page = load_manga_from_annotation(img_path, anno_path, img_size)
     else:
@@ -29,10 +34,15 @@ def process_page(eval_step, state, img_path, anno_path, mask_path,
         print(f"{name}: no bubbles found")
         return
     preds = eval_step(state, jnp.asarray(page["images"]))
-    paste_result_on_manga(
-        img_path, page, np.asarray(preds["masks"]), np.asarray(preds["edges"]),
-        res_output, name,
-    )
+    if anno_path:
+        paste_result_on_manga(
+            img_path, page, np.asarray(preds["masks"]),
+            np.asarray(preds["edges"]), res_output, name,
+        )
+    else:
+        paste_edge_result_on_manga(
+            img_path, page, np.asarray(preds["edges"]), res_output, name,
+        )
     print(f"{name}: {page['images'].shape[0]} bubbles → {res_output}/{name}.png")
 
 
@@ -66,6 +76,9 @@ def main(argv=None):
                 c_path = os.path.join(e_path, chapter, "OriginSizeManga")
                 if not os.path.isdir(c_path):
                     continue
+                # mask route source: sibling OriginSizeBubbles dir
+                # (reference main_mask, test_BE_manga.py:386-396)
+                b_path = os.path.join(e_path, chapter, "OriginSizeBubbles")
                 for pagef in sorted(os.listdir(c_path)):
                     img_path = os.path.join(c_path, pagef)
                     stem = pagef.split(".")[0]
@@ -74,10 +87,14 @@ def main(argv=None):
                         cand = os.path.join(args.anno_path, manga, epi, chapter,
                                             f"{stem}.json")
                         anno = cand if os.path.exists(cand) else None
+                    mask = None
                     if anno is None:
-                        continue
+                        cand = os.path.join(b_path, pagef)
+                        mask = cand if os.path.exists(cand) else None
+                        if mask is None:
+                            continue
                     try:
-                        process_page(eval_step, state, img_path, anno, None,
+                        process_page(eval_step, state, img_path, anno, mask,
                                      args.img_size, args.res_output,
                                      f"{manga}_{epi}_{chapter}_{stem}")
                     except Exception as e:  # skip bad pages (test_BE_manga.py:460)

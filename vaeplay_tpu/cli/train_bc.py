@@ -15,7 +15,7 @@ import optax
 from vaeplay_tpu.data.bc_data import BCDataset, SyntheticBCDataset
 from vaeplay_tpu.models.bc import ComposeNet
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, path_labeled_transform
 from vaeplay_tpu.ops.contour import batch_find_contours
@@ -41,7 +41,25 @@ def main(argv=None):
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=10)
     parser.add_argument("--iterations", type=int, dest="iterations", default=64,
                         help="iterations per epoch for the synthetic dataset")
+    parser.add_argument("--refine_dtype", type=str, dest="refine_dtype",
+                        default="bfloat16", choices=("float32", "bfloat16"),
+                        help="dtype of the RefineNet FC kernels + their Adam "
+                             "state; bfloat16 is the single-chip working "
+                             "point for the reference's 256-point capacity "
+                             "(545M-param fc0, networks_BC.py:25,165-176)")
+    parser.add_argument("--bridge_stride", type=int, dest="bridge_stride",
+                        default=4,
+                        help="subsample factor for the external-contour "
+                             "bridge's mask transfer (1 = full resolution)")
+    parser.add_argument("--bridge", type=str, dest="bridge", default="overlap",
+                        choices=("overlap", "sync"),
+                        help="overlap: trace batch i+1's contours (one-step-"
+                             "stale masks) while batch i's train step runs on "
+                             "device; sync: exact reference semantics, one "
+                             "blocking host round-trip per step")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BC", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -53,7 +71,8 @@ def main(argv=None):
         for arg in vars(args):
             f.write("{:35}{:20}\n".format(arg, str(getattr(args, arg))))
 
-    model = ComposeNet(max_points=args.max_points)
+    model = ComposeNet(max_points=args.max_points,
+                       refine_fc_dtype=args.refine_dtype)
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     variables = jit_init(model, {"params": jax.random.PRNGKey(args.seed)}, x)
 
@@ -92,6 +111,11 @@ def main(argv=None):
         constants=variables.get("constants"),
     )
     mesh = create_mesh()
+    start_epoch = 0
+    if args.resume:
+        state, tag = restore_state(args.resume, state)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
     state = replicate(mesh, state)
     external = not supports_host_callback()
     if external:
@@ -99,36 +123,57 @@ def main(argv=None):
               "two-program external-contour bridge")
     step = make_bc_train_step(model, max_points=args.max_points,
                               external_contours=external)
-    mask_step = make_bc_mask_step(model) if external else None
+    stride = max(args.bridge_stride, 1)
+    mask_step = make_bc_mask_step(model, stride=stride) if external else None
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
     import numpy as np
 
-    for epoch in range(args.epochs):
+    # width of the (padded, possibly strided) stage-A mask rows
+    mask_w = -(-(args.img_size + 2) // stride)
+
+    def trace_and_train(state, acc, cnt, tensors, packed):
+        """Unpack stage-A bits on the host, trace contours (native C++),
+        scale back to full resolution, and dispatch the train program."""
+        masks = unpack_mask_bits(packed, mask_w)
+        pts, counts = batch_find_contours(
+            masks, max_points=args.max_points, threshold=0.5)
+        if stride > 1:
+            pts = pts * np.float32(stride)
+        pts_d, counts_d = shard_batch(mesh, (pts, counts))
+        full = (tensors[0], pts_d, counts_d) + tensors[1:]
+        return astep(state, acc, cnt, *full)
+
+    for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
+        pending = None  # (tensors, packed) waiting for its host contour trace
         for i, b in enumerate(dset.epoch_batches(args.batchsize, epoch)):
             tensors = shard_batch(mesh, (
                 b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"],
                 b["tgt_mask"], b["key_pts"], b["key_mask"],
             ))
             if external:
+                # dispatch stage A for THIS batch first so its trace can
+                # overlap the previous batch's train program on device
                 packed = mask_step(state, tensors[0])
-                masks = unpack_mask_bits(packed, args.img_size + 2)
-                pts, counts = batch_find_contours(
-                    masks, max_points=args.max_points, threshold=0.5)
-                pts_d, counts_d = shard_batch(mesh, (pts, counts))
-                tensors = (tensors[0], pts_d, counts_d) + tensors[1:]
-            state, acc, cnt = astep(state, acc, cnt, *tensors)
-            if (i + 1) % args.viz_freq == 0:
+                if args.bridge == "overlap":
+                    if pending is not None:
+                        state, acc, cnt = trace_and_train(
+                            state, acc, cnt, *pending)
+                    pending = (tensors, packed)
+                else:
+                    state, acc, cnt = trace_and_train(
+                        state, acc, cnt, tensors, packed)
+            else:
+                state, acc, cnt = astep(state, acc, cnt, *tensors)
+            if (i + 1) % args.viz_freq == 0 and cnt is not None:
                 avg = fetch_averages(acc, cnt)
                 print(f"epoch[{epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+        if pending is not None:  # flush the overlap pipeline at epoch end
+            state, acc, cnt = trace_and_train(state, acc, cnt, *pending)
         if epoch >= 10 or args.epochs <= 10:  # reference gates at epoch 10
-            ckpt.save(epoch, {
-                "params": state.params, "batch_stats": state.batch_stats,
-                "constants": state.constants, "opt_state": state.opt_state,
-                "step": state.step,
-            })
+            save_state(ckpt, epoch, state)
             print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

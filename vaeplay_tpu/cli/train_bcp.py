@@ -14,8 +14,9 @@ import jax.numpy as jnp
 
 from vaeplay_tpu.data.bcp_data import BCPDataset, SyntheticBCPDataset
 from vaeplay_tpu.models.bcp import ComposeNet, Discriminator
-from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.ops.attention import configure_ring_attention
+from vaeplay_tpu.parallel.mesh import parse_mesh_arg, replicate, shard_batch
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, torch_adam
 from vaeplay_tpu.train.steps_bcp import make_bcp_train_step
@@ -44,6 +45,17 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=10)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
+    parser.add_argument("--mesh", type=str, dest="mesh", default=None,
+                        help="device mesh as DATAxMODEL, e.g. 4x2; with "
+                             "--point_attention the point axis shards over "
+                             "the model axis (ring attention)")
+    parser.add_argument("--point_attention", action="store_true",
+                        dest="point_attention",
+                        help="enable the 3-block point self-attention stack "
+                             "(the reference's commented-out batch_attention, "
+                             "networks_BCP.py:122-126)")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BCP", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -55,7 +67,8 @@ def main(argv=None):
         for arg in vars(args):
             f.write("{:35}{:20}\n".format(arg, str(getattr(args, arg))))
 
-    g_model = ComposeNet(image_size=args.img_size, pt_size=args.max_points)
+    g_model = ComposeNet(image_size=args.img_size, pt_size=args.max_points,
+                         point_attention=args.point_attention)
     d_model = Discriminator(image_size=args.img_size, pt_size=args.max_points)
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     cnt = jnp.zeros((1, args.max_points, 2))
@@ -65,8 +78,18 @@ def main(argv=None):
     dv = jit_init(d_model, {"params": jax.random.PRNGKey(args.seed + 1)}, x, tgt)
     g = TrainState.create(g_model.apply, gv["params"], None, torch_adam(args.lr))
     d = TrainState.create(d_model.apply, dv["params"], None, torch_adam(args.lr_disc))
-    mesh = create_mesh()
-    gs = replicate(mesh, GanState(g=g, d=d))
+    mesh = parse_mesh_arg(args.mesh)
+    if args.point_attention and mesh.shape["model"] > 1:
+        configure_ring_attention(mesh, min_n=min(1024, args.max_points))
+        print(f"ring attention: point axis ({args.max_points}) sharded over "
+              f"{mesh.shape['model']} model-axis devices")
+    gs = GanState(g=g, d=d)
+    start_epoch = 0
+    if args.resume:
+        gs, tag = restore_state(args.resume, gs)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
+    gs = replicate(mesh, gs)
     step = make_bcp_train_step(g_model, d_model)
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
@@ -80,7 +103,7 @@ def main(argv=None):
             data_size=args.iterations * args.batchsize,
         )
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt_m = None, None
         for i in range(args.iterations):
@@ -97,10 +120,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt_m)
                 print(f"[epoch {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
-        ckpt.save(epoch, {
-            "G": {"params": gs.g.params}, "D": {"params": gs.d.params},
-            "step": gs.g.step,
-        })
+        # full state: every net's params AND optimizer state
+        save_state(ckpt, epoch, gs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

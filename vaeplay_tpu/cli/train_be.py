@@ -18,7 +18,7 @@ from vaeplay_tpu.eval.be_eval import save_test_batch
 from vaeplay_tpu.models.be import ComposeNet
 from vaeplay_tpu.ops.warp import random_joint_rot_flip
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
 from vaeplay_tpu.train.steps_be import make_be_eval_step, make_be_train_step
@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=100)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"),
+                        help="compute dtype for forward/backward FLOPs; "
+                             "master params/opt state/BN stats/losses stay f32")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BE", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -75,8 +81,14 @@ def main(argv=None):
 
     model, state = build_state(args)
     mesh = create_mesh()
+    start_epoch = 0
+    if args.resume:
+        state, tag = restore_state(args.resume, state)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
     state = replicate(mesh, state)
-    step = make_be_train_step(model)
+    from vaeplay_tpu.utils.amp import resolve_dtype
+    step = make_be_train_step(model, compute_dtype=resolve_dtype(args.dtype))
     eval_step = make_be_eval_step(model)
     ckpt = Checkpointer(args.model_output)
     rng = jax.random.PRNGKey(args.seed + 1)
@@ -87,7 +99,7 @@ def main(argv=None):
         return out_img, ob, oe
 
     astep = accumulating(step)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt = None, None
         for i in range(args.iterations):
@@ -107,11 +119,7 @@ def main(argv=None):
                 print(" ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
                 preds = eval_step(state, imgs)
                 save_test_batch(imgs, preds, args.res_output, f"{epoch}_{i+1}")
-        ckpt.save(epoch, {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "constants": state.constants, "opt_state": state.opt_state,
-            "step": state.step,
-        })
+        save_state(ckpt, epoch, state)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

@@ -20,7 +20,7 @@ from vaeplay_tpu.data.font_data import (
 )
 from vaeplay_tpu.models.be_font import ComposeNet, Discriminator
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.steps_be_font import create_font_state, make_be_font_train_step
 from vaeplay_tpu.utils.jitting import jit_init
@@ -47,6 +47,8 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=20)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BE_font", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -68,6 +70,11 @@ def main(argv=None):
     dv = jit_init(d_model, {"params": jax.random.PRNGKey(args.seed + 1)}, m2, y)
     fs = create_font_state(g_model, d_model, gv, dv, args.lr)
     mesh = create_mesh()
+    start_epoch = 0
+    if args.resume:
+        fs, tag = restore_state(args.resume, fs)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
     fs = replicate(mesh, fs)
     step = make_be_font_train_step(g_model, d_model, args.lr)
     astep = accumulating(step)
@@ -81,7 +88,7 @@ def main(argv=None):
                                    seed=args.seed)
         batches_fn = lambda epoch: ds.batches(args.batchsize, args.img_size, epoch)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
         for i, b in enumerate(batches_fn(epoch)):
             imgs, masks, edges, labels, styles = shard_batch(
@@ -92,11 +99,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"Epoch [{epoch}][{i+1}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
-        ckpt.save(epoch, {
-            "net": {"params": fs.g.params, "batch_stats": fs.g.batch_stats},
-            "disc": {"params": fs.d.params, "batch_stats": fs.d.batch_stats},
-            "step": fs.g.step,
-        })
+        # full state: every net's params AND optimizer state
+        save_state(ckpt, epoch, fs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

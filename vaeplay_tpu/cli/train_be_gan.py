@@ -17,7 +17,7 @@ from vaeplay_tpu.data.be_data import BEDataset, SyntheticBubbleDataset
 from vaeplay_tpu.eval.be_eval import save_test_batch
 from vaeplay_tpu.models.be_gan import ComposeNet, Discriminator
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
 from vaeplay_tpu.train.steps_be_gan import GanState, make_be_gan_train_step
@@ -43,6 +43,8 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=20)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BE_GAN", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -69,7 +71,13 @@ def main(argv=None):
         torch_adam(args.lr * 0.1, (0.5, 0.999)),
     )
     mesh = create_mesh()
-    gs = replicate(mesh, GanState(g=g, d=d))
+    gs = GanState(g=g, d=d)
+    start_epoch = 0
+    if args.resume:
+        gs, tag = restore_state(args.resume, gs)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
+    gs = replicate(mesh, gs)
     step = make_be_gan_train_step(g_model, d_model)  # two-program split
     astep = accumulating(step, fuse=False)
     ckpt = Checkpointer(args.model_output)
@@ -93,7 +101,7 @@ def main(argv=None):
     import numpy as _np
     aug_rng = _np.random.default_rng(args.seed + 7)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt = None, None
         for i in range(args.iterations):
@@ -113,12 +121,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"[Epoch: {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
-        ckpt.save(epoch, {
-            "G": {"params": gs.g.params, "batch_stats": gs.g.batch_stats,
-                  "constants": gs.g.constants},
-            "D": {"params": gs.d.params, "batch_stats": gs.d.batch_stats},
-            "step": gs.g.step,
-        })
+        # full GanState: G and D params AND both optimizer states
+        save_state(ckpt, epoch, gs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

@@ -16,7 +16,7 @@ import optax
 from vaeplay_tpu.data.bp_data import BPDataset, SyntheticEmitDataset
 from vaeplay_tpu.models.bp import ComposeNet
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState
 from vaeplay_tpu.train.steps_bp import make_bp_train_step
@@ -40,6 +40,8 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=50)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("BP", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -64,6 +66,11 @@ def main(argv=None):
     tx = optax.adam(lr_schedule)
     state = TrainState.create(model.apply, variables["params"], None, tx)
     mesh = create_mesh()
+    start_epoch = 0
+    if args.resume:
+        state, tag = restore_state(args.resume, state)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
     state = replicate(mesh, state)
     step = make_bp_train_step(model)
     astep = accumulating(step)
@@ -77,7 +84,7 @@ def main(argv=None):
             img_size=args.img_size, data_size=args.iterations * args.batchsize
         )
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt = None, None
         for i in range(args.iterations):
@@ -92,8 +99,7 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"[epoch {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
-        ckpt.save(epoch, {"params": state.params, "opt_state": state.opt_state,
-                          "step": state.step})
+        save_state(ckpt, epoch, state)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

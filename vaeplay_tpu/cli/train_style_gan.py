@@ -16,7 +16,7 @@ import numpy as np
 from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
 from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer
+from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, torch_adam
 from vaeplay_tpu.train.steps_style_gan import StyleGanState, make_style_gan_train_step
@@ -43,6 +43,8 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=50)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--resume", type=str, dest="resume", default=None,
+                        help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("Style_GAN", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -70,6 +72,11 @@ def main(argv=None):
         d=TrainState.create(d_model.apply, dv["params"], None, torch_adam(args.lr)),
     )
     mesh = create_mesh()
+    start_epoch = 0
+    if args.resume:
+        ss, tag = restore_state(args.resume, ss)
+        start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
     ss = replicate(mesh, ss)
     step = make_style_gan_train_step(e_model, g_model, d_model, args.z_dim)
     astep = accumulating(step)
@@ -84,7 +91,7 @@ def main(argv=None):
         dset = SyntheticBubbleDataset(
             img_size=args.img_size, data_size=args.iterations * args.batchsize)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         it = iter(dset.epoch_batches(args.batchsize, epoch))
         acc, cnt = None, None
         for i in range(args.iterations):
@@ -103,10 +110,8 @@ def main(argv=None):
             if (i + 1) % args.viz_freq == 0:
                 avg = fetch_averages(acc, cnt)
                 print(" ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
-        ckpt.save(epoch, {
-            "G": {"params": ss.g.params}, "E": {"params": ss.e.params},
-            "D": {"params": ss.d.params}, "step": ss.g.step,
-        })
+        # full state: every net's params AND optimizer state
+        save_state(ckpt, epoch, ss)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 
 

@@ -15,14 +15,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vaeplay_tpu.data.circles import CircleDataset
+from vaeplay_tpu.data.circles import (
+    CircleDataset, DiskCircleDataset, encode_targets)
 from vaeplay_tpu.models.vae_gan import VaeGan
 from vaeplay_tpu.ops.geometry import decode_circle_param, render_circle_batch
-from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
-from vaeplay_tpu.train.checkpoint import Checkpointer, make_run_dir
+from vaeplay_tpu.parallel.mesh import (
+    create_mesh, parse_mesh_arg, replicate, shard_batch, shard_params)
+from vaeplay_tpu.train.checkpoint import (
+    Checkpointer, make_run_dir, restore_state, save_state)
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
-from vaeplay_tpu.train.steps_vae import make_circle_train_step, make_eval_step
+from vaeplay_tpu.train.steps_vae import (
+    make_circle_train_step, make_eval_step, make_train_step)
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.profiling import maybe_profile
@@ -65,8 +69,21 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=16)
     parser.add_argument("--data_size", type=int, dest="data_size", default=4096)
+    parser.add_argument("--path", type=str, dest="path", default=None,
+                        help="pre-generated circle dir (filename-encoded "
+                             "params, reference CDataset ifGen=False mode, "
+                             "dataset.py:35-48); default: on-device synthesis")
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"),
+                        help="compute dtype for forward/backward FLOPs; "
+                             "master params/opt state/BN stats/losses stay f32")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
     parser.add_argument("--resume", type=str, dest="resume", default=None)
+    parser.add_argument("--mesh", type=str, dest="mesh", default=None,
+                        help="device mesh as DATAxMODEL, e.g. 4x2: batch "
+                             "sharded over the data axis, large dense kernels "
+                             "(and their optimizer state) tensor-sharded over "
+                             "the model axis; default = all devices on data")
     parser.add_argument("--profile", type=str, dest="profile", default=None,
                         help="directory for a jax.profiler trace")
     parser.add_argument("--profile_steps", type=int, dest="profile_steps", default=5,
@@ -80,22 +97,33 @@ def main(argv=None):
     mlog = MetricsLogger(run_dir)
 
     model, state = build_state(args)
-    mesh = create_mesh()
-    state = replicate(mesh, state)
-    step = make_circle_train_step(model, args.img_size)
-
-    ds = CircleDataset(n=args.img_size, min_radius=10, data_size=args.data_size, seed=args.seed)
-    rng = jax.random.PRNGKey(args.seed + 2)
-
+    mesh = parse_mesh_arg(args.mesh)
     start_epoch = 0
     if args.resume:
-        rckpt = Checkpointer(args.resume)
-        tag = rckpt.latest()
-        restored = rckpt.restore(tag, template=jax.device_get(
-            {"params": state.params, "batch_stats": state.batch_stats,
-             "opt_state": state.opt_state, "step": state.step}))
-        state = state.replace(**restored)
+        state, tag = restore_state(args.resume, state)
         start_epoch = tag + 1
+        print(f"resumed epoch {tag} from {args.resume}")
+    state = replicate(mesh, state)
+    if mesh.shape["model"] > 1:
+        # tensor parallelism: last-axis shard the big dense kernels and their
+        # optimizer moments over "model"; GSPMD inserts the ICI collectives
+        state = state.replace(params=shard_params(mesh, state.params),
+                              opt_state=shard_params(mesh, state.opt_state))
+        print(f"mesh data={mesh.shape['data']} model={mesh.shape['model']}: "
+              "tensor-sharded dense kernels on the model axis")
+    from vaeplay_tpu.utils.amp import resolve_dtype
+    cdtype = resolve_dtype(args.dtype)
+    if args.path:
+        ds = DiskCircleDataset(args.path, args.img_size)
+        assert len(ds) > 0, f"no filename-encoded circle files in {args.path}"
+        print(f"disk mode: {len(ds)} pre-generated circles from {args.path}")
+        step = make_train_step(model, compute_dtype=cdtype)  # disk images
+    else:
+        ds = CircleDataset(n=args.img_size, min_radius=10,
+                           data_size=args.data_size, seed=args.seed)
+        step = make_circle_train_step(model, args.img_size,
+                                      compute_dtype=cdtype)  # on-device render
+    rng = jax.random.PRNGKey(args.seed + 2)
 
     eval_step = make_eval_step(model)
     astep = accumulating(step)
@@ -108,11 +136,18 @@ def main(argv=None):
         acc, cnt = None, None
         t0 = time.perf_counter()
         seen = 0
-        for i, pb in enumerate(ds.epoch_batches(args.batchsize, epoch_seed=epoch)):
+        for i, batch in enumerate(ds.epoch_batches(args.batchsize, epoch_seed=epoch)):
             rng, sub = jax.random.split(rng)
-            pb_dev = shard_batch(mesh, pb)
             # metrics accumulate on device; the host only syncs at viz_freq
-            state, acc, cnt = astep(state, acc, cnt, pb_dev, sub)
+            if args.path:
+                imgs_np, pb = batch
+                targets = np.asarray(encode_targets(args.img_size, pb))
+                imgs_d, targets_d = shard_batch(mesh, (imgs_np, targets))
+                state, acc, cnt = astep(state, acc, cnt, imgs_d, targets_d, sub)
+            else:
+                pb = batch
+                pb_dev = shard_batch(mesh, pb)
+                state, acc, cnt = astep(state, acc, cnt, pb_dev, sub)
             seen += pb.shape[0]
             global_it += 1
             if profile_cm is not None and global_it >= args.profile_steps:
@@ -149,10 +184,7 @@ def main(argv=None):
                     grid, os.path.join(args.res_output, f"{epoch}_{i}.png"),
                     nrow=pb.shape[0], padding=2, pad_value=1.0,
                 )
-        ckpt.save(epoch, {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state, "step": state.step,
-        })
+        save_state(ckpt, epoch, state)
         print(f"epoch {epoch} done; checkpoint → {ckpt.path(epoch)}")
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)

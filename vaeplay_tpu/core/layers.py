@@ -111,7 +111,7 @@ class ConvTransposeBlock(nn.Module):
     padding: Optional[int] = None  # default (k-1)//2, torch-style
     output_padding: int = 1
     use_bias: bool = True
-    kernel_init: nn.initializers.Initializer = vinit.conv_kaiming
+    kernel_init: nn.initializers.Initializer = vinit.transpose_conv_kaiming
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -122,6 +122,10 @@ class ConvTransposeBlock(nn.Module):
             "kernel", self.kernel_init, (k, k, x.shape[-1], self.features)
         )
         lo, hi = k - 1 - p, k - 1 - p + op
+        # flax-style dtype promotion: mixed input/param dtypes (e.g. a stray
+        # f32 activation meeting bf16 amp params) compute in the promoted type
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x, kernel = x.astype(dt), kernel.astype(dt)
         y = jax.lax.conv_general_dilated(
             x,
             jnp.flip(kernel, axis=(0, 1)),

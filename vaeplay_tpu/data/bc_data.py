@@ -54,17 +54,26 @@ class BCDataset:
     (the model input is the `_edge` image, dataset.py:224-227)."""
 
     def __init__(self, data_path: str, img_size: Tuple[int, int],
-                 padding: int = 1, max_points: int = 256, if_test: bool = False):
+                 padding: int = 1, max_points: int = 256, if_test: bool = False,
+                 debug: int = -1):
+        """debug=N truncates the scan to the first N samples — the
+        reference's quick-iteration switch (dataset.py:228-233)."""
         self.img_size = img_size
         self.max_points = max_points
         self.padding = padding
         self.if_test = if_test
         self.imgs, self.bimgs, self.eimgs = [], [], []
+        done = False
         for cls_name in sorted(os.listdir(data_path)):
+            if done:
+                break
             cls_folder = os.path.join(data_path, cls_name)
             if not os.path.isdir(cls_folder):
                 continue
             for patch in sorted(os.listdir(cls_folder)):
+                if debug > 0 and len(self.imgs) >= debug:
+                    done = True
+                    break
                 if any(t in patch for t in ("mask", "edge", "bubble")):
                     continue
                 name, ext = patch.split(".")[:2]

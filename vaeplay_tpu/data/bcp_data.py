@@ -39,6 +39,59 @@ def resample_points_with_constraint(
     return contour
 
 
+def mask_bbox(mask: np.ndarray):
+    """PIL Image.getbbox equivalent on a (H, W) array: (left, upper, right,
+    lower) of the nonzero region with exclusive right/lower, or None."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return None
+    return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+
+
+def random_offset(bbox, img_size: int, rng: np.random.Generator,
+                  maximum=None, offset=None):
+    """Random translation keeping the bbox roughly in frame — exact port of
+    the reference random_offset (datasets/dataset.py:462-492)."""
+    left, upper, right, lower = bbox
+    right = img_size - right
+    lower = img_size - lower
+    if offset is not None:
+        left, upper = left + offset, upper + offset
+        right, lower = right + offset, lower + offset
+    if maximum is not None:
+        left, upper = min(left, maximum), min(upper, maximum)
+        right, lower = min(right, maximum), min(lower, maximum)
+    left = -left + 1
+    upper = -upper + 1
+    offset_x = int(rng.integers(left, right)) if left < right else 0
+    offset_y = int(rng.integers(upper, lower)) if upper < lower else 0
+    return offset_x, offset_y
+
+
+def affine_nearest_np(img: np.ndarray, rot_rad: float, ox: float, oy: float,
+                      fill: float = 0.0) -> np.ndarray:
+    """Host nearest-neighbour affine warp of (H, W, C): rotate about the
+    image center (w*0.5, h*0.5) by rot_rad with the point-transform matrix
+    R = [[cos, -sin], [sin, cos]], then translate by (ox, oy) — the forward
+    map the reference applies to annotation points (dataset.py:583-605), so
+    warped pixels land exactly where transformed points do (TF.affine's
+    center differs by <= half a pixel; point math is the contract here)."""
+    h, w = img.shape[:2]
+    cx, cy = w * 0.5, h * 0.5
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = xs - cx - ox
+    dy = ys - cy - oy
+    c, s = np.cos(rot_rad), np.sin(rot_rad)
+    sx = c * dx + s * dy + cx   # inverse rotation
+    sy = -s * dx + c * dy + cy
+    xi = np.rint(sx).astype(np.int64)
+    yi = np.rint(sy).astype(np.int64)
+    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)].copy()
+    out[~inb] = fill
+    return out
+
+
 def augment_points_sample(
     img: np.ndarray,        # (H, W, 3) [img, bmask, emask] float
     points: np.ndarray,     # (N, 6) pixel coords
@@ -46,23 +99,36 @@ def augment_points_sample(
     rng: np.random.Generator,
     rotate: bool = True,
 ):
-    """The joint affine/flip/filter pipeline on one sample; mirrors
-    dataset.py:546-639 with the image warp done with numpy rolls for offsets
-    only when no rotation is requested (callers may instead augment the image
-    on device — the point math here is the contract)."""
+    """The joint affine/flip/filter pipeline on one sample — exact port of
+    the reference BCPDataset.__getitem__ augmentation (dataset.py:540-639):
+    the SAME rotation+offset affine is applied to the image and the
+    annotation points, then shared flips, out-of-bounds point filter,
+    endpoint→offset conversion, and key-preserving decimation.
+
+    Reference quirk reproduced deliberately: the affine (rotation included)
+    is applied ONLY when the random offset is nonzero — `TF.affine` and the
+    point rotation both live inside `if offset_x != 0 or offset_y != 0`
+    (dataset.py:575-605), so a (0, 0) offset draw skips rotation entirely.
+    """
     h, w = img.shape[:2]
     points = points.astype(np.float32).copy()
     scale = 1.0 / h
     rot_deg = rng.uniform(-15, 15) if rotate else 0.0
     rot = rot_deg * np.pi / 180.0
     cx, cy = w * 0.5, h * 0.5
-    if rotate:
-        xs = points[:, 0:3:2] - cx
-        ys = points[:, 1:4:2] - cy
-        tx = xs * np.cos(rot) - ys * np.sin(rot)
-        ty = xs * np.sin(rot) + ys * np.cos(rot)
-        points[:, 0:3:2] = tx + cx
-        points[:, 1:4:2] = ty + cy
+    bbox = mask_bbox(img[..., 0] > 0)
+    ox, oy = random_offset(bbox, h, rng) if bbox is not None else (0, 0)
+    if ox != 0 or oy != 0:
+        img = affine_nearest_np(img, rot, float(ox), float(oy))
+        if rotate:
+            xs = points[:, 0:3:2] - cx
+            ys = points[:, 1:4:2] - cy
+            tx = xs * np.cos(rot) - ys * np.sin(rot)
+            ty = xs * np.sin(rot) + ys * np.cos(rot)
+            points[:, 0:3:2] = tx + cx
+            points[:, 1:4:2] = ty + cy
+        points[:, 0:3:2] += ox
+        points[:, 1:4:2] += oy
     points[:, :4] = (points[:, :4] * scale - 0.5) / 0.5
     if rng.random() < 0.5:
         img = img[::-1].copy()

@@ -8,6 +8,7 @@ triples live on the host; images are rendered *on device inside the jit step*
 bottleneck and there is no H2D image traffic at all.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Iterator, Tuple
 
@@ -46,6 +47,72 @@ class CircleDataset:
         stop = (self.data_size // batch_size) * batch_size if drop_remainder else self.data_size
         for i in range(0, stop, batch_size):
             yield self.params[order[i : i + batch_size]]
+
+
+def render_circle_np(n: int, x: float, y: float, radius: float) -> np.ndarray:
+    """Host-side circle render matching generate_circle_img
+    (tools/utils.py:24-42): white disk on black, (n, n, 1) float in [0, 1]."""
+    ys, xs = np.mgrid[0:n, 0:n]
+    d = np.sqrt((xs - x) ** 2 + (ys - y) ** 2)
+    return (d <= radius).astype(np.float32)[..., None]
+
+
+def write_circle_dataset(data_dir: str, dataset: "CircleDataset") -> int:
+    """Write a generated dataset to disk in the reference's filename-encoded
+    layout `{idx}_{radius}_{x}_{y}.png` (CDataset ifWrite, dataset.py:57-58).
+    Returns the number of files written."""
+    from PIL import Image
+
+    os.makedirs(data_dir, exist_ok=True)
+    for i, (r, x, y) in enumerate(dataset.params):
+        img = (render_circle_np(dataset.n, x, y, r)[..., 0] * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            os.path.join(data_dir, f"{i}_{int(r)}_{int(x)}_{int(y)}.png"))
+    return len(dataset.params)
+
+
+class DiskCircleDataset:
+    """The reference CDataset's disk-load mode (ifGen=False,
+    dataset.py:35-48): scan `data_dir` for `{idx}_{r}_{x}_{y}.png` files,
+    decode params from the filename, load grayscale images (downscaled to n
+    when larger, dataset.py:65-67).  epoch_batches yields (imgs, params)."""
+
+    def __init__(self, data_dir: str, n: int):
+        from PIL import Image  # noqa: F401 — fail fast if PIL is absent
+
+        self.n = n
+        self.files = []
+        self.params = []
+        for f in sorted(os.listdir(data_dir)):
+            stem = f.split(".")[0]
+            try:
+                _, r, x, y = stem.split("_")
+            except ValueError:
+                continue
+            self.files.append(os.path.join(data_dir, f))
+            self.params.append((float(r), float(x), float(y)))
+        self.params = np.asarray(self.params, np.float32).reshape(-1, 3)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(self.files[idx]).convert("L")
+        if img.size[0] > self.n:
+            img = img.resize((self.n, self.n))
+        return (np.asarray(img, np.float32) / 255.0)[..., None]
+
+    def epoch_batches(
+        self, batch_size: int, epoch_seed: int = 0, drop_remainder: bool = True
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.random.default_rng(epoch_seed).permutation(len(self))
+        stop = (len(self) // batch_size) * batch_size if drop_remainder else len(self)
+        for i in range(0, stop, batch_size):
+            sel = order[i : i + batch_size]
+            imgs = np.stack([self.load(j) for j in sel])
+            yield imgs, self.params[sel]
 
 
 def encode_targets(n: int, params: np.ndarray) -> jnp.ndarray:

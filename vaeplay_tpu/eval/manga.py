@@ -197,3 +197,56 @@ def paste_result_on_manga(
     makedirs(result_path)
     Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"))
     return result
+
+
+def paste_edge_result_on_manga(
+    img_path: str,
+    page: Dict,
+    pred_edges: np.ndarray,  # (B, S, S, 1) sigmoid probs
+    result_path: str,
+    result_name: str,
+    kernel_size: int = 13,
+) -> np.ndarray:
+    """Mask-route paste variant (test_BE_manga.py:160-225, used by main_mask
+    :373-412): the EDGE comes from the prediction but the CONTENT region is
+    the provided coarse connected-component mask (full-page coordinates);
+    NoFrame bubbles (label 3) use the dilated coarse mask for both.  Same
+    occupancy dedupe and BGR [edge, class, content] encoding."""
+    img = Image.open(img_path)
+    w, h = img.size
+    pred_edges = (pred_edges[..., 0] >= 0.5).astype(np.float32)
+    result = np.zeros((h, w, 3), np.uint8)
+    check = np.zeros((h, w), bool)
+    boxes, labels, recon = page["boxes"], page["labels"], page["recon_info"]
+    for i in range(len(boxes)):
+        merge_edge = np.zeros((h, w), np.float32)
+        merge_bubble = np.zeros((h, w), np.float32)
+        ax, ay, size = (int(v) for v in recon[i])
+        xmin, ymin, xmax, ymax = (int(v) for v in boxes[i])
+        bw, bh = xmax - xmin, ymax - ymin
+        comp = page["masks"][i].astype(np.float32)
+        if labels[i] != 3:
+            tmp_e = _resize_nearest(pred_edges[i], size)
+            merge_edge[ymin:ymax, xmin:xmax] = tmp_e[ay:ay + bh, ax:ax + bw]
+            merge_bubble[ymin:ymax, xmin:xmax] = comp[ymin:ymax, xmin:xmax]
+        else:
+            tmp = comp[ymin:ymax, xmin:xmax]
+            dil = np.clip(_dilate(tmp, kernel_size), 0, 1)
+            merge_edge[ymin:ymax, xmin:xmax] = dil - tmp
+            merge_bubble[ymin:ymax, xmin:xmax] = tmp
+        me = merge_edge.astype(bool)
+        mb = merge_bubble.astype(bool)
+        me = me & ~mb
+        me = me & ~check
+        mb = mb & ~check
+        total = me | mb
+        check |= total
+        result = result + np.stack([
+            me.astype(np.uint8) * 255,
+            total.astype(np.uint8) * int(labels[i]),
+            mb.astype(np.uint8) * 255,
+        ], axis=-1)
+    result[~check] = 255
+    makedirs(result_path)
+    Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"))
+    return result

@@ -104,10 +104,18 @@ class EdgeNet(nn.Module):
 
 class RefineNet(nn.Module):
     """6 attention blocks over (channels=points, positions=feature dims) + FC
-    head → per-point (dx, dy) (networks_BC.py:149-176, CASE=1)."""
+    head → per-point (dx, dy) (networks_BC.py:149-176, CASE=1).
+
+    fc_dtype: dtype of the two FC kernels and their matmuls.  The reference's
+    256-point working set makes fc0 a (66048, 8256) kernel — 545M params; in
+    f32 its Adam state alone exceeds a single v5e chip's HBM, so the TPU
+    working point stores and computes these two kernels in bfloat16 (outputs
+    cast back to f32; attention stack and losses stay f32).  Parity budget is
+    gated by tests/test_bc.py::test_refine_fc_bf16_parity."""
 
     max_points: int = DEFAULT_MAX_POINTS
     feat_size: int = 258  # backbone channels + 2 coord channels
+    fc_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -118,11 +126,14 @@ class RefineNet(nn.Module):
             y = SelfAttentionBlock(name=f"attn{i}")(y, train=train)
         y = y[:, :, 0, :].transpose(0, 2, 1).reshape(b, p * f)
         fc_in = self.max_points * self.feat_size
-        y = nn.Dense(fc_in // 8, kernel_init=nn.initializers.variance_scaling(
-            1 / 3, "fan_in", "uniform"), name="fc0")(y)
-        y = nn.Dense(self.max_points * 2, kernel_init=nn.initializers.variance_scaling(
-            1 / 3, "fan_in", "uniform"), name="fc1")(y)
-        return y.reshape(b, p, 2)
+        dt = jnp.dtype(self.fc_dtype)
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=nn.initializers.variance_scaling(
+                1 / 3, "fan_in", "uniform"),
+            dtype=dt, param_dtype=dt, name=name)
+        y = dense(fc_in // 8, "fc0")(y.astype(dt))
+        y = dense(self.max_points * 2, "fc1")(y)
+        return y.reshape(b, p, 2).astype(x.dtype)
 
 
 def host_contours(mask_probs: jnp.ndarray, max_points: int):
@@ -186,6 +197,17 @@ def resample_feature_batched(
     return sampled * valid[..., None].astype(sampled.dtype)
 
 
+def pack_mask_bits(binary: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) {0,1} uint8 → (B, H, ceil(W/8)) uint8, np.unpackbits layout."""
+    b, h, w = binary.shape
+    pad_w = (-w) % 8
+    if pad_w:
+        binary = jnp.pad(binary, ((0, 0), (0, 0), (0, pad_w)))
+    bits = binary.reshape(b, h, -1, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
 class ComposeNet(nn.Module):
     """Two contour-bridge modes:
 
@@ -200,13 +222,15 @@ class ComposeNet(nn.Module):
 
     padding: int = 1
     max_points: int = DEFAULT_MAX_POINTS
+    refine_fc_dtype: str = "float32"
 
     def setup(self):
         self.feature_net = FeatureNet()
         self.mask_net = MaskNet()
         self.edge_net = EdgeNet()
         # feat_size = backbone out_channels (256) + 2 coord channels
-        self.refine_net = RefineNet(max_points=self.max_points, feat_size=258)
+        self.refine_net = RefineNet(max_points=self.max_points, feat_size=258,
+                                    fc_dtype=self.refine_fc_dtype)
 
     def __call__(
         self, x: jnp.ndarray, train: bool = True, contours=None
@@ -247,15 +271,17 @@ class ComposeNet(nn.Module):
         tunnel transfer dominates the bridge cost)."""
         return (self.mask_probs(x, train=train) >= 0.5).astype(jnp.uint8)
 
-    def mask_bits(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def mask_bits(self, x: jnp.ndarray, train: bool = True,
+                  stride: int = 1) -> jnp.ndarray:
         """Stage A returning the thresholded mask BIT-PACKED along the width
         axis (np.unpackbits-compatible, 32x less transfer than f32): output
-        (B, Hp, ceil(Wp/8)) uint8."""
+        (B, Hp/stride, ceil(Wp/stride/8)) uint8.
+
+        stride > 1 subsamples the thresholded mask before packing — stride 4
+        cuts the bridge transfer and the host marching-squares cost ~16x;
+        the host scales traced coords back by `stride` (points quantize to
+        `stride` px, which the refine head's regression targets absorb)."""
         binary = self.mask_binary(x, train=train)[..., 0]  # (B, Hp, Wp)
-        b, h, w = binary.shape
-        pad_w = (-w) % 8
-        if pad_w:
-            binary = jnp.pad(binary, ((0, 0), (0, 0), (0, pad_w)))
-        bits = binary.reshape(b, h, -1, 8)
-        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-        return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+        if stride > 1:
+            binary = binary[:, ::stride, ::stride]
+        return pack_mask_bits(binary)

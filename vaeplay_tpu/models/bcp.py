@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vaeplay_tpu.core.layers import ConvBlock, DenseBlock, add_coords
+from vaeplay_tpu.core.layers import (
+    ConvBlock, DenseBlock, PointSelfAttentionBlock, add_coords)
 from vaeplay_tpu.ops.image import grid_sample
 
 VALUE_WEIGHT = 10.0
@@ -89,9 +90,18 @@ class ClassPredictor(nn.Module):
 
 
 class LinePredictor(nn.Module):
+    """point_attention enables the 3-block point self-attention stack at the
+    site of the reference's commented-out `batch_attention`
+    (networks_BCP.py:122-126, applied at :196) / its dead ValueEncoder
+    attention (:70-94).  Off by default to match the reference's shipped
+    semantics; when on, the attention runs over the full pt_size axis and —
+    under configure_ring_attention with a model-axis mesh — shards that axis
+    across chips (the repo's context-parallel path, SURVEY.md §2.3)."""
+
     image_size: int = 128  # = encoder out_size in the reference ctor call
     pt_size: int = 2048
     in_channels: int = 128
+    point_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, contours: jnp.ndarray,
@@ -131,6 +141,10 @@ class LinePredictor(nn.Module):
             ],
             axis=-1,
         )                                                    # (B, P, 2C+4)
+        if self.point_attention:
+            for i in range(3):
+                feat = PointSelfAttentionBlock(name=f"battn{i}")(
+                    feat, train=train)
         d = feat.shape[-1]
         f = DenseBlock(d, activate="lrelu", name="fh0")(feat)
         f = DenseBlock(d, activate="lrelu", name="fh1")(f)
@@ -147,6 +161,7 @@ class LinePredictor(nn.Module):
 class ComposeNet(nn.Module):
     image_size: int = 512
     pt_size: int = 2048
+    point_attention: bool = False
 
     def setup(self):
         self.encoder = ContentEndoer()
@@ -154,6 +169,7 @@ class ComposeNet(nn.Module):
         self.line_predictor = LinePredictor(
             image_size=self.encoder.out_size, pt_size=self.pt_size,
             in_channels=self.encoder.out_channels,
+            point_attention=self.point_attention,
         )
 
     def __call__(self, x: jnp.ndarray, contours: jnp.ndarray,

@@ -63,7 +63,8 @@ class DecoderBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = ConvTransposeBlock(
             self.features, 5, stride=2, padding=2, output_padding=1,
-            use_bias=False, kernel_init=vinit.vaegan_uniform(), name="conv",
+            use_bias=False, kernel_init=vinit.vaegan_uniform(transpose=True),
+            name="conv",
         )(x)
         x = _bn(train, "bn")(x)
         return nn.relu(x)
@@ -211,8 +212,9 @@ class VaeGan(nn.Module):
         z = self.reparameterize(mus, log_variances)
         x_tilde = self.decoder(z, train=train)
         params = self.param_encoder(z)
-        z_p = jax.random.normal(self.make_rng("noise"), (b, self.z_size))
-        x_p = self.decoder(z_p, train=train)
+        z_p = jax.random.normal(self.make_rng("noise"), (b, self.z_size),
+                                mus.dtype)  # keep the prior branch in the
+        x_p = self.decoder(z_p, train=train)  # compute dtype under bf16 amp
         cat = jnp.concatenate([x, x_tilde, x_p], axis=0)
         disc_layer = self.discriminator(cat, train=train, mode="REC")
         disc_class = self.discriminator(cat, train=train, mode="GAN")

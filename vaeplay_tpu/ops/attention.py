@@ -144,6 +144,46 @@ def _pallas_attention_bwd(res, g):
 _pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
+# Ring (context-parallel) attention routing — set by trainers/dryruns via
+# configure_ring_attention; consulted at TRACE time by spatial_self_attention.
+_RING = {"mesh": None, "axis": "model", "min_n": 1024}
+
+
+def configure_ring_attention(mesh=None, axis: str = "model", min_n: int = 1024):
+    """Route self-attention through the ring (context-parallel) kernel.
+
+    When `mesh` has >= 2 devices on `axis` and a position axis N >= min_n that
+    divides the axis size, every spatial_self_attention call (and therefore
+    every SelfAttentionBlock / PointSelfAttentionBlock — BP's 720-pt ellipse
+    towers, BCP's point path, BC's refine stack) shards its N axis over the
+    mesh: K/V slices rotate via lax.ppermute while each device accumulates
+    online-softmax state (SURVEY.md §2.3 SP/CP row).  Call with mesh=None to
+    disable.  Returns the previous configuration for save/restore."""
+    prev = dict(_RING)
+    _RING.update(mesh=mesh, axis=axis, min_n=min_n)
+    return prev
+
+
+def ring_attention_active(n: int) -> bool:
+    """Whether a position axis of size n would route through the ring."""
+    mesh = _RING["mesh"]
+    if mesh is None:
+        return False
+    axis = _RING["axis"]
+    if axis not in mesh.axis_names:
+        return False
+    n_dev = mesh.shape[axis]
+    return n_dev >= 2 and n >= _RING["min_n"] and n % n_dev == 0
+
+
+def _maybe_ring(q, k, v):
+    if not ring_attention_active(q.shape[1]):
+        return None
+    from vaeplay_tpu.parallel.ring_attention import ring_self_attention
+
+    return ring_self_attention(q, k, v, _RING["mesh"], axis=_RING["axis"])
+
+
 def use_pallas() -> bool:
     """Whether to route attention through the Pallas flash kernel.
 
@@ -166,9 +206,14 @@ def spatial_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jn
     """Unscaled softmax attention over flattened spatial (or point) positions.
 
     Args:  q, k: (B, N, Dk);  v: (B, N, Dv).  Returns (B, N, Dv).
-    Dispatches to the flash kernel when use_pallas() (any N — the kernel
-    streams K/V blockwise), else to XLA's fused einsum formulation.
+    Dispatches to the ring (context-parallel) kernel when
+    configure_ring_attention is active for this N, else to the flash kernel
+    when use_pallas() (any N — the kernel streams K/V blockwise), else to
+    XLA's fused einsum formulation.
     """
+    ring_out = _maybe_ring(q, k, v)
+    if ring_out is not None:
+        return ring_out
     n = q.shape[1]
     if use_pallas() and n >= 64:
         return _pallas_attention_ad(q, k, v)

@@ -127,9 +127,22 @@ def chamfer_pt_regression_loss(
 
     Per sample: bidirectional nearest-neighbour match between predicted and
     target contours; MSE between the predicted regression vectors and the true
-    offset to the matched point.  Full-contour term weighted (p2t=1.0, t2p=0.1)
-    plus a key-point term (p2t=0.0, t2p=2.0); mean over the batch.
+    offset to the matched point.  Each direction's MSE is a PER-SAMPLE mean
+    (torch F.mse_loss reduction='mean' inside the per-image loop,
+    ops.py:43-45); samples with zero predicted points contribute exactly 0
+    (ops.py:63-64); the final loss is the plain mean over the batch
+    (ops.py:65) — so samples weigh equally regardless of point counts.
+    Full-contour term weighted (p2t=1.0, t2p=0.1) plus a key-point term
+    (p2t=0.0, t2p=2.0).
     """
+
+    def per_sample_mean(x, mask):
+        # x (B, ...), mask broadcastable to x: per-sample masked mean → (B,)
+        mask = jnp.broadcast_to(mask.astype(x.dtype), x.shape)
+        b = x.shape[0]
+        num = jnp.sum((x * mask).reshape(b, -1), axis=1)
+        den = jnp.sum(mask.reshape(b, -1), axis=1)
+        return num / jnp.maximum(den, 1.0)
 
     def one_direction_losses(tgt, tmask):
         # dif[b, i, j, :] = tgt[b, j] - pred[b, i]
@@ -142,7 +155,7 @@ def chamfer_pt_regression_loss(
         t2p_idx = jnp.argmin(dist_tp, axis=1)                       # (B, M)
         # p2t: regression of each valid predicted point vs offset to its match
         dif_p2t = jnp.take_along_axis(dif, p2t_idx[:, :, None, None].repeat(2, -1), axis=2)[:, :, 0, :]
-        loss_p2t = masked_mean((pred_regress - dif_p2t) ** 2, pred_mask[:, :, None])
+        loss_p2t = per_sample_mean((pred_regress - dif_p2t) ** 2, pred_mask[:, :, None])
         # t2p: regression of the matched predicted point vs offset to the target
         reg_t2p = jnp.take_along_axis(pred_regress, t2p_idx[:, :, None].repeat(2, -1), axis=1)
         # dif[b, t2p_idx[b, j], j, :] — offset from the matched pred to target j
@@ -151,16 +164,15 @@ def chamfer_pt_regression_loss(
         dif_t2p = jnp.take_along_axis(
             dif, t2p_idx[:, :, None, None].repeat(2, -1), axis=1
         )[:, jidx, jidx, :]                                          # (B, M, 2)
-        valid_t = tmask[:, :, None] * (jnp.sum(pred_mask, axis=1) > 0)[:, None, None]
-        loss_t2p = masked_mean((reg_t2p - dif_t2p) ** 2, valid_t)
+        loss_t2p = per_sample_mean((reg_t2p - dif_t2p) ** 2, tmask[:, :, None])
         return loss_p2t, loss_t2p
 
     full_p2t, full_t2p = one_direction_losses(target_pts, target_mask)
     _, key_t2p = one_direction_losses(key_pts, key_mask)
     # any sample with zero predicted points contributes zero (ops.py:63-64)
-    any_pred = jnp.any(pred_mask > 0)
-    loss = 1.0 * full_p2t + 0.1 * full_t2p + 2.0 * key_t2p
-    return jnp.where(any_pred, loss, 0.0)
+    any_pred = jnp.any(pred_mask > 0, axis=1)                        # (B,)
+    loss = 1.0 * full_p2t + 0.1 * full_t2p + 2.0 * key_t2p           # (B,)
+    return jnp.mean(jnp.where(any_pred, loss, 0.0))
 
 
 def ellipse_param_loss(preds: jnp.ndarray, gt: jnp.ndarray) -> Dict[str, jnp.ndarray]:

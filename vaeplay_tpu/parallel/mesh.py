@@ -35,6 +35,15 @@ def create_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def parse_mesh_arg(spec: Optional[str]) -> Mesh:
+    """Build a mesh from a CLI "--mesh DxM" string (data x model axes), e.g.
+    "4x2"; None/empty → all devices on the data axis."""
+    if not spec:
+        return create_mesh()
+    nd, nm = (int(p) for p in spec.lower().replace("*", "x").split("x"))
+    return create_mesh(n_data=nd, n_model=nm)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding along the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -22,8 +22,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _NEG_INF = -1e30
 
 
-def _ring_body(q, k, v, axis_name: str):
-    """Local shard computation inside shard_map: q/k/v (B, n_local, D*)."""
+def _mark_varying(x, axis_name):
+    """Mark a locally-constructed array as varying over the mesh axis, so it
+    can carry the same type as per-device loop outputs.  jax.lax.pvary is
+    deprecated in favour of pcast(..., to='varying'); support both."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
+def _ring_body(q, k, v, axis_name: str, vary_axes=None):
+    """Local shard computation inside shard_map: q/k/v (B, n_local, D*).
+    vary_axes: all mesh axes the inputs vary over (ring axis + co-sharded
+    batch axes) — locally-constructed carries must be marked varying over
+    the same set."""
+    vary_axes = vary_axes or axis_name
     n_dev = jax.lax.psum(1, axis_name)
     b, nl, dv = v.shape
 
@@ -43,11 +57,11 @@ def _ring_body(q, k, v, axis_name: str):
         return (m_new, l_new, acc_new, k_nxt, v_nxt), None
 
     # init values must carry the same "varying over axis" type as the loop
-    # outputs — mark them with pvary
+    # outputs — mark them varying
     init = (
-        jax.lax.pvary(jnp.full((b, q.shape[1]), _NEG_INF, jnp.float32), axis_name),
-        jax.lax.pvary(jnp.zeros((b, q.shape[1]), jnp.float32), axis_name),
-        jax.lax.pvary(jnp.zeros((b, q.shape[1], dv), jnp.float32), axis_name),
+        _mark_varying(jnp.full((b, q.shape[1]), _NEG_INF, jnp.float32), vary_axes),
+        _mark_varying(jnp.zeros((b, q.shape[1]), jnp.float32), vary_axes),
+        _mark_varying(jnp.zeros((b, q.shape[1], dv), jnp.float32), vary_axes),
         k, v,
     )
     (m, l, acc, _, _), _ = jax.lax.scan(step, init, None, length=n_dev)
@@ -60,12 +74,20 @@ def ring_self_attention(
 ) -> jnp.ndarray:
     """Context-parallel attention: the N axis of q/k/v is sharded over
     `axis`; output comes back with the same sharding.  N must divide the
-    axis size."""
+    axis size.  When the mesh also has a batch ("data") axis that divides
+    the batch, the batch axis is co-sharded over it — DP x CP in one
+    shard_map (no all-gather of the batch)."""
     n_dev = mesh.shape[axis]
     assert q.shape[1] % n_dev == 0, (q.shape, n_dev)
-    spec = P(None, axis, None)
+    batch_axes = tuple(
+        a for a in mesh.axis_names
+        if a != axis and mesh.shape[a] > 1 and q.shape[0] % mesh.shape[a] == 0
+    )
+    batch_spec = batch_axes if batch_axes else None
+    spec = P(batch_spec, axis, None)
     fn = jax.shard_map(
-        functools.partial(_ring_body, axis_name=axis),
+        functools.partial(_ring_body, axis_name=axis,
+                          vary_axes=batch_axes + (axis,)),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
     )
     return fn(q, k, v)

@@ -9,10 +9,11 @@ the same run-dir layout so tooling that walks logs/<family>/<ts>/ still works.
 
 import datetime
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
+from flax import serialization
 
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -45,7 +46,14 @@ class Checkpointer:
     def restore(self, tag, template: Any = None) -> Any:
         p = self.path(tag)
         if template is not None:
-            return self._ckptr.restore(p, item=template)
+            try:
+                return self._ckptr.restore(p, item=template)
+            except ValueError:
+                # template is a subtree of the saved tree (e.g. params-only
+                # eval loads): restore just the requested leaves
+                return self._ckptr.restore(
+                    p, args=ocp.args.PyTreeRestore(
+                        item=template, partial_restore=True))
         return self._ckptr.restore(p)
 
     def tags(self):
@@ -63,3 +71,61 @@ class Checkpointer:
     def latest(self) -> Optional[int]:
         tags = self.tags()
         return tags[-1] if tags else None
+
+
+_EMPTY = object()
+
+
+def _prune_empty(tree):
+    """Drop empty subtrees (None / {} / empty optax states) that orbax cannot
+    store; returns _EMPTY for a fully-empty tree."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            pv = _prune_empty(v)
+            if pv is not _EMPTY:
+                out[k] = pv
+        return out if out else _EMPTY
+    if tree is None:
+        return _EMPTY
+    return tree
+
+
+def _merge_restored(template, restored):
+    """Graft restored values back onto the full (unpruned) template dict."""
+    if isinstance(template, dict):
+        return {
+            k: (_merge_restored(v, restored[k]) if isinstance(restored, dict)
+                and k in restored else v)
+            for k, v in template.items()
+        }
+    return template if restored is None else restored
+
+
+def save_state(ckpt: Checkpointer, tag, state) -> str:
+    """Save ANY train-state pytree — TrainState or a multi-net state
+    (GanState/FontState/StyleGanState) — as a plain nested dict that always
+    carries params, batch_stats, constants, optimizer state, and step.  This
+    is the uniform checkpoint surface all eight trainers use (the reference
+    only ever torch.saves modules and forgets optimizers, train_BE.py:136-143;
+    resume is a first-class capability here, SURVEY.md §5)."""
+    sd = serialization.to_state_dict(jax.device_get(state))
+    pruned = _prune_empty(sd)
+    assert pruned is not _EMPTY, "refusing to checkpoint an empty state"
+    return ckpt.save(tag, pruned)
+
+
+def restore_state(run_dir: str, state, tag=None) -> Tuple[Any, int]:
+    """Restore a checkpoint saved by `save_state` into a freshly-built state
+    of the same structure (the template supplies tx/apply_fn statics).
+    Returns (state, tag); tag defaults to the latest in run_dir."""
+    ckpt = Checkpointer(run_dir)
+    if tag is None:
+        tag = ckpt.latest()
+    if tag is None:
+        raise FileNotFoundError(f"no checkpoints found under {run_dir}")
+    template = serialization.to_state_dict(jax.device_get(state))
+    pruned = _prune_empty(template)
+    tree = ckpt.restore(tag, template=pruned)
+    merged = _merge_restored(template, tree)
+    return serialization.from_state_dict(state, merged), tag

@@ -72,13 +72,15 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
     return train_step
 
 
-def make_bc_mask_step(model):
+def make_bc_mask_step(model, stride: int = 1):
     """Stage A for external-contour mode: jit (state, imgs) → bit-packed
     thresholded mask (train-mode statistics, batch_stats updates discarded —
     the contour source matches the training forward's mask,
     networks_BC.py:217).  Returned packed array unpacks with
     `unpack_mask_bits` before the host contour trace; packing cuts the
-    device→host tunnel transfer 32x vs f32 probabilities."""
+    device→host tunnel transfer 32x vs f32 probabilities, and stride=4
+    subsamples the mask first for another 16x (trace coords scale back by
+    `stride` on the host)."""
 
     @jax.jit
     def mask_step(state: TrainState, imgs):
@@ -86,8 +88,8 @@ def make_bc_mask_step(model):
         if state.constants:
             variables["constants"] = state.constants
         packed, _ = model.apply(
-            variables, imgs, train=True, method=model.mask_bits,
-            mutable=["batch_stats"],
+            variables, imgs, train=True, stride=stride,
+            method=model.mask_bits, mutable=["batch_stats"],
         )
         return packed
 

@@ -13,24 +13,30 @@ from vaeplay_tpu.ops import losses as L
 from vaeplay_tpu.train.state import TrainState
 
 
-def make_be_train_step(model):
+def make_be_train_step(model, compute_dtype=None):
     """jit (state, imgs, bimgs, eimgs) -> (state, metrics).
 
     imgs: (B, H, W, 3); bimgs/eimgs: (B, H, W, 1) binary targets.
+    compute_dtype=bfloat16 runs forward/backward FLOPs in bf16, keeping
+    master params / Adam state / BN stats / losses f32 (utils/amp.py).
     """
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def loss_fn(params, batch_stats, constants, imgs, bimgs, eimgs):
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = {"params": to_compute(params, compute_dtype),
+                     "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:
-            variables["constants"] = constants
+            variables["constants"] = to_compute(constants, compute_dtype)
         preds, mut = model.apply(
-            variables, imgs, train=True, mutable=["batch_stats"]
+            variables, to_compute(imgs, compute_dtype), train=True,
+            mutable=["batch_stats"]
         )
+        preds = to_f32(preds)
         loss_edge = L.mask_edge_losses(preds["edges"], eimgs)
         loss_mask = L.mask_edge_losses(preds["masks"], bimgs)
         total = loss_edge + loss_mask
         return total, ({"loss_edge": loss_edge, "loss_mask": loss_mask},
-                       mut["batch_stats"])
+                       to_f32(mut["batch_stats"]))
 
     @jax.jit
     def train_step(state: TrainState, imgs, bimgs, eimgs):

@@ -57,18 +57,24 @@ def vae_gan_losses(outs, imgs, targets) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_train_step(model):
-    """Returns jit(state, imgs, targets, rng) -> (state, metrics)."""
+def make_train_step(model, compute_dtype=None):
+    """Returns jit(state, imgs, targets, rng) -> (state, metrics).
+
+    compute_dtype=bfloat16 runs the forward/backward FLOPs in bf16 while
+    master params, optimizer state, BN statistics, and all loss reductions
+    stay f32 (utils/amp.py policy)."""
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def loss_fn(params, batch_stats, imgs, targets, rng):
         outs, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs,
+            {"params": to_compute(params, compute_dtype),
+             "batch_stats": to_compute(batch_stats, compute_dtype)},
+            to_compute(imgs, compute_dtype),
             train=True,
             rngs={"noise": rng},
             mutable=["batch_stats"],
         )
-        m = vae_gan_losses(outs, imgs, targets)
+        m = vae_gan_losses(to_f32(outs), imgs, targets)
         total = (
             m["loss_recon"]
             + m["loss_encoder"]
@@ -76,7 +82,7 @@ def make_train_step(model):
             + m["loss_discriminator"]
             + m["loss_aux"]
         )
-        return total, (m, mut["batch_stats"])
+        return total, (m, to_f32(mut["batch_stats"]))
 
     @jax.jit
     def train_step(state: TrainState, imgs, targets, rng):
@@ -90,14 +96,14 @@ def make_train_step(model):
     return train_step
 
 
-def make_circle_train_step(model, img_size: int):
+def make_circle_train_step(model, img_size: int, compute_dtype=None):
     """Fused data + train step: takes raw (B, 3) [radius, cx, cy] circle params
     and renders the batch, encodes the targets, and runs the train step inside
     ONE jit program — zero host->device image traffic (the reference renders
     every circle on the CPU per sample, datasets/dataset.py:52-56)."""
     from vaeplay_tpu.ops.geometry import encode_circle_param, render_circle_batch
 
-    step = make_train_step(model)
+    step = make_train_step(model, compute_dtype=compute_dtype)
 
     @jax.jit
     def fused(state: TrainState, raw_params, rng):
