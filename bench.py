@@ -24,10 +24,12 @@ from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
 from vaeplay_tpu.train.steps_vae import make_circle_train_step
 from vaeplay_tpu.utils.jitting import jit_init
 
-# Measured via `python tools/measure_baseline.py --img_size 256 --batch 8
-# --steps 2` on this container's CPU (torch 5-backward reference step,
-# 99.57 s/step): 0.080 images/sec.  See BASELINE.md.
-BASELINE_CPU_IPS = 0.080
+# Measured via `python tools/measure_baseline.py --img_size 256 --batch 16
+# --steps 3` on an otherwise-idle box (torch 5-backward reference step at the
+# reference's default batch 16, train.py:119: 201.3 s/step → 0.079 img/s;
+# bs8 on the same box measures 0.080 — throughput is batch-insensitive on
+# CPU).  See BASELINE.md for methodology.
+BASELINE_CPU_IPS = 0.079
 
 IMG_SIZE = 256
 # bs128 saturates one v5e chip (52k img/s vs 11k at bs16); bs256 exceeds HBM

@@ -143,3 +143,80 @@ def test_cli_test_be_gan_manga(manga_tree, tmp_path):
     test_be_gan_manga.main(["--debug", "--path", pages, "--anno_path", annos,
                             "--img_size", "64", "--res_output", out])
     assert _pngs(out), "be_gan manga route wrote no page"
+
+
+@pytest.fixture()
+def bubble_patch_tree(tmp_path):
+    """Two tiny class-folder trees: a BC tree (`a` + `a_edge/_mask/
+    _mask_edge`, BCDataset dataset.py:236-240 — its scanner treats ANY
+    file without a mask/edge/bubble token as a base patch, so `_layer`
+    files cannot share the tree) and a BP/BCP tree (`a` + `a_mask2` +
+    `a_layer`, BPDatasetTEST/BCPDatasetTEST dataset.py:421-460, 641-688).
+    Returns (bc_root, bp_root)."""
+    h = w = 64
+    ys, xs = np.mgrid[0:h, 0:w]
+    disk = (((xs - 32.0) / 18.0) ** 2 + ((ys - 30.0) / 14.0) ** 2) <= 1.0
+    inner = (((xs - 32.0) / 15.0) ** 2 + ((ys - 30.0) / 11.0) ** 2) <= 1.0
+    ring = disk & ~inner
+    gray = np.where(disk, 255, 40).astype(np.uint8)
+    layer = np.zeros((h, w, 3), np.uint8)           # ch0 = content, ch1 = edge
+    layer[disk, 0] = 255
+    layer[ring, 1] = 255
+    for cls in ("2", "3"):
+        d = tmp_path / "data_bc" / cls
+        os.makedirs(d)
+        Image.fromarray(gray).save(d / "a.png")
+        Image.fromarray(gray).save(d / "a_edge.png")
+        Image.fromarray(layer).save(d / "a_mask.png")
+        Image.fromarray(layer).save(d / "a_mask_edge.png")
+        d = tmp_path / "data_bp" / cls
+        os.makedirs(d)
+        Image.fromarray(gray).save(d / "a.png")
+        Image.fromarray(gray).save(d / "a_mask2.png")
+        Image.fromarray(layer).save(d / "a_layer.png")
+    return str(tmp_path / "data_bc"), str(tmp_path / "data_bp")
+
+
+def test_cli_test_bc_walker(bubble_patch_tree, tmp_path):
+    from vaeplay_tpu.cli import test_bc
+
+    out = str(tmp_path / "bc_walk")
+    test_bc.main(["--debug", "--path", bubble_patch_tree[0], "--img_size", "64",
+                  "--max_points", "32", "--batchsize", "2",
+                  "--res_output", out])
+    assert _pngs(out), "bc walker wrote no grids"
+
+
+def test_cli_test_bp_walker(bubble_patch_tree, tmp_path):
+    from vaeplay_tpu.cli import test_bp
+
+    out = str(tmp_path / "bp_walk")
+    test_bp.main(["--debug", "--path", bubble_patch_tree[1], "--img_size", "64",
+                  "--batchsize", "2", "--res_output", out])
+    assert _pngs(out), "bp walker wrote no grids"
+
+
+def test_cli_test_bcp_walker(bubble_patch_tree, tmp_path):
+    from vaeplay_tpu.cli import test_bcp
+
+    out = str(tmp_path / "bcp_walk")
+    test_bcp.main(["--debug", "--path", bubble_patch_tree[1], "--img_size", "64",
+                   "--max_points", "64", "--batchsize", "2",
+                   "--res_output", out])
+    assert _pngs(out), "bcp walker wrote no grids"
+
+
+def test_cli_test_be_font_walker(tmp_path):
+    from vaeplay_tpu.cli import test_be_font
+
+    kana_dir = tmp_path / "kana"
+    os.makedirs(kana_dir)
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        img = np.full((40, 32), 255, np.uint8)
+        img[8:30, 6 + 4 * i : 12 + 4 * i] = 0  # a fat stroke
+        Image.fromarray(img).save(kana_dir / f"k{i}.png")
+    out = str(tmp_path / "font_walk")
+    test_be_font.main(["--debug", "--path", str(kana_dir), "--img_size", "64",
+                       "--batchsize", "2", "--res_output", out])
+    assert _pngs(out), "be_font walker wrote no grids"

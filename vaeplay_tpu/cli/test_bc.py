@@ -57,32 +57,47 @@ def main(argv=None):
     def full_forward(variables, imgs, contours):
         return model.apply(variables, imgs, train=False, contours=contours)
 
-    ds = SyntheticBCDataset(img_size=args.img_size, max_points=args.max_points,
-                            data_size=args.batchsize)
-    batch = ds.sample_batch(args.batchsize)
-    imgs = jnp.asarray(batch["imgs"])
-    if external:
-        masks = unpack_mask_bits(mask_step(state, imgs), args.img_size + 2)
-        pts, counts = batch_find_contours(masks, args.max_points)
-        contours = (jnp.asarray(pts), jnp.asarray(counts))
-    else:
-        contours = None
-    preds = full_forward(state.variables(), imgs, contours)
+    def render_batch(imgs, name):
+        imgs = jnp.asarray(imgs)
+        if external:
+            masks = unpack_mask_bits(mask_step(state, imgs), args.img_size + 2)
+            pts, counts_ = batch_find_contours(masks, args.max_points)
+            contours = (jnp.asarray(pts), jnp.asarray(counts_))
+        else:
+            contours = None
+        preds = full_forward(state.variables(), imgs, contours)
+        panels = []
+        cnts = np.asarray(preds["contours"])
+        regs = np.asarray(preds["contour_regressions"])
+        counts = np.asarray(preds["contour_counts"])
+        for i in range(imgs.shape[0]):
+            valid = np.arange(args.max_points) < counts[i]
+            base = np.asarray(imgs[i])
+            p1 = draw_points(base, cnts[i], color=(255, 0, 0), valid=valid)
+            refined = cnts[i] + regs[i]
+            p2 = draw_points(base, refined, color=(0, 255, 0), valid=valid)
+            panels.extend([base, p1, p2])
+        out = os.path.join(args.res_output, f"{name}.png")
+        save_image_grid(np.stack(panels), out, nrow=3)
+        print(f"wrote {out}")
 
-    panels = []
-    cnts = np.asarray(preds["contours"])
-    regs = np.asarray(preds["contour_regressions"])
-    counts = np.asarray(preds["contour_counts"])
-    for i in range(imgs.shape[0]):
-        valid = np.arange(args.max_points) < counts[i]
-        base = np.asarray(imgs[i])
-        p1 = draw_points(base, cnts[i], color=(255, 0, 0), valid=valid)
-        refined = cnts[i] + regs[i]
-        p2 = draw_points(base, refined, color=(0, 255, 0), valid=valid)
-        panels.extend([base, p1, p2])
-    save_image_grid(np.stack(panels), os.path.join(args.res_output, "contours.png"),
-                    nrow=3)
-    print(f"wrote {args.res_output}/contours.png")
+    if args.path:
+        # full-dataset walker over the test split (reference test_BC.py loop)
+        from vaeplay_tpu.data.bc_data import BCDataset
+
+        dset = BCDataset(args.path, (args.img_size, args.img_size),
+                         max_points=args.max_points, if_test=True)
+        if not len(dset):
+            parser.error(f"no test samples under {args.path}")
+        for s in range(0, len(dset), args.batchsize):
+            idxs = range(s, min(s + args.batchsize, len(dset)))
+            imgs = np.stack([dset.load(j)[0] for j in idxs])
+            render_batch(imgs, f"contours_{s // args.batchsize}")
+    else:
+        ds = SyntheticBCDataset(img_size=args.img_size,
+                                max_points=args.max_points,
+                                data_size=args.batchsize)
+        render_batch(ds.sample_batch(args.batchsize)["imgs"], "contours")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,11 @@ from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TPU BE_font inference")
+    parser.add_argument("--path", type=str, dest="path", default=None,
+                        help="kana crop folder — walks every image with the "
+                             "self-encoded style path (reference "
+                             "test_BE_font.py KanaImageDataset loop); "
+                             "default: one synthetic batch")
     parser.add_argument("--model_path", type=str, dest="model_path", default=None)
     parser.add_argument("--debug", action="store_true", dest="debug")
     parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
@@ -47,6 +52,40 @@ def main(argv=None):
         y = {"cls": y_cls, "cnt_style": y_style} if use_y else None
         return model.apply({"params": params, "batch_stats": batch_stats},
                            imgs, y=y, train=False)
+
+    def sig3_np(t):
+        return np.repeat(np.asarray(jax.nn.sigmoid(t)), 3, axis=-1)
+
+    if args.path:
+        # full-folder walker, self-encoded style only (reference
+        # test_BE_font.py:74-101 — `net(tensor_kana_imgs)` with no y)
+        from PIL import Image
+
+        from vaeplay_tpu.data.font_data import KanaImageDataset
+
+        dset = KanaImageDataset(args.path)
+        if not len(dset):
+            parser.error(f"no images under {args.path}")
+        fwd_self = jax.jit(lambda p, s, i: model.apply(
+            {"params": p, "batch_stats": s}, i, y=None, train=False))
+        for st in range(0, len(dset), args.batchsize):
+            idxs = range(st, min(st + args.batchsize, len(dset)))
+            arrs = []
+            for j in idxs:
+                im = dset.load(j).convert("RGB").resize(
+                    (args.img_size, args.img_size), Image.NEAREST)
+                arrs.append(np.asarray(im, np.float32) / 255.0)
+            imgs = jnp.asarray(np.stack(arrs))
+            preds = fwd_self(params, batch_stats, imgs)
+            grid = np.concatenate([
+                np.asarray(imgs), sig3_np(preds["masks"]),
+                sig3_np(preds["edges"]),
+            ], axis=0)
+            name = f"test_{st // args.batchsize}"
+            save_image_grid(grid, os.path.join(args.res_output, f"{name}.png"),
+                            nrow=imgs.shape[0])
+            print(f"wrote {args.res_output}/{name}.png")
+        return
 
     ds = SyntheticGlyphDataset(data_size=args.batchsize)
     b = next(ds.batches(args.batchsize, args.img_size))

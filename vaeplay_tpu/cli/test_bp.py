@@ -19,6 +19,10 @@ from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TPU BP inference")
+    parser.add_argument("--path", type=str, dest="path", default=None,
+                        help="dataset root — walks every class-3 test sample "
+                             "(reference test_BP.py full-dataset loop); "
+                             "default: one synthetic batch")
     parser.add_argument("--model_path", type=str, dest="model_path", default=None)
     parser.add_argument("--debug", action="store_true", dest="debug")
     parser.add_argument("--gpu", type=int, dest="gpu", default=0)  # ignored
@@ -46,28 +50,43 @@ def main(argv=None):
     def forward(params, imgs):
         return model.apply({"params": params}, imgs, train=False)
 
-    ds = SyntheticEmitDataset(img_size=args.img_size, data_size=args.batchsize)
-    imgs, _, _ = ds.sample_batch(args.batchsize)
-    preds = forward(state.params, jnp.asarray(imgs))
+    def render_batch(imgs, name):
+        preds = forward(state.params, jnp.asarray(imgs))
+        n = args.img_size
+        sample = np.asarray(preds["sample_infos"])  # (B, S, 6) in [-1,1] coords
+        trig = np.asarray(preds["if_triggers"]).argmax(-1).astype(bool)
+        line = np.asarray(preds["line_params"])     # offsets x10, theta, len x10
+        panels = []
+        for i in range(imgs.shape[0]):
+            base = np.asarray(imgs[i])
+            px = (sample[i, :, 0] * 0.5 + 0.5) * n
+            py = (sample[i, :, 1] * 0.5 + 0.5) * n
+            starts = np.stack([px, py], -1)
+            dirs = sample[i, :, 2:4]
+            lengths = np.abs(line[i, :, 3]) / VALUE_WEIGHT * 0.5 * n
+            p1 = draw_points(base, starts, color=(255, 0, 0))
+            p2 = draw_rays(base, starts, dirs, lengths, trig[i])
+            panels.extend([base, p1, p2])
+        out = os.path.join(args.res_output, f"{name}.png")
+        save_image_grid(np.stack(panels), out, nrow=3)
+        print(f"wrote {out}")
 
-    n = args.img_size
-    sample = np.asarray(preds["sample_infos"])      # (B, S, 6) in [-1,1] coords
-    trig = np.asarray(preds["if_triggers"]).argmax(-1).astype(bool)
-    line = np.asarray(preds["line_params"])         # offsets x10, theta, len x10
-    panels = []
-    for i in range(imgs.shape[0]):
-        base = np.asarray(imgs[i])
-        px = (sample[i, :, 0] * 0.5 + 0.5) * n
-        py = (sample[i, :, 1] * 0.5 + 0.5) * n
-        starts = np.stack([px, py], -1)
-        dirs = sample[i, :, 2:4]
-        lengths = np.abs(line[i, :, 3]) / VALUE_WEIGHT * 0.5 * n
-        p1 = draw_points(base, starts, color=(255, 0, 0))
-        p2 = draw_rays(base, starts, dirs, lengths, trig[i])
-        panels.extend([base, p1, p2])
-    save_image_grid(np.stack(panels), os.path.join(args.res_output, "emit.png"),
-                    nrow=3)
-    print(f"wrote {args.res_output}/emit.png")
+    if args.path:
+        # full-dataset walker over the test split (reference test_BP.py loop)
+        from vaeplay_tpu.data.bp_data import BPDatasetTEST
+
+        dset = BPDatasetTEST(args.path, args.img_size)
+        if not len(dset):
+            parser.error(f"no class-3 test samples under {args.path}")
+        for s in range(0, len(dset), args.batchsize):
+            idxs = range(s, min(s + args.batchsize, len(dset)))
+            imgs = np.stack([dset.load(j) for j in idxs])
+            render_batch(imgs, f"emit_{s // args.batchsize}")
+    else:
+        ds = SyntheticEmitDataset(img_size=args.img_size,
+                                  data_size=args.batchsize)
+        imgs, _, _ = ds.sample_batch(args.batchsize)
+        render_batch(imgs, "emit")
 
 
 if __name__ == "__main__":

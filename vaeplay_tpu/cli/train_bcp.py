@@ -45,6 +45,10 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=10)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"),
+                        help="compute dtype for forward/backward FLOPs; "
+                             "master params/opt state/BN stats/losses stay f32")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
     parser.add_argument("--mesh", type=str, dest="mesh", default=None,
@@ -90,7 +94,9 @@ def main(argv=None):
         start_epoch = tag + 1
         print(f"resumed epoch {tag} from {args.resume}")
     gs = replicate(mesh, gs)
-    step = make_bcp_train_step(g_model, d_model)
+    from vaeplay_tpu.utils.amp import resolve_dtype
+    step = make_bcp_train_step(g_model, d_model,
+                               compute_dtype=resolve_dtype(args.dtype))
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
 

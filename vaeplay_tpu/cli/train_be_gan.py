@@ -43,6 +43,10 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=20)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"),
+                        help="compute dtype for forward/backward FLOPs; "
+                             "master params/opt state/BN stats/losses stay f32")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
@@ -78,7 +82,9 @@ def main(argv=None):
         start_epoch = tag + 1
         print(f"resumed epoch {tag} from {args.resume}")
     gs = replicate(mesh, gs)
-    step = make_be_gan_train_step(g_model, d_model)  # two-program split
+    from vaeplay_tpu.utils.amp import resolve_dtype
+    step = make_be_gan_train_step(g_model, d_model,
+                                  compute_dtype=resolve_dtype(args.dtype))  # two-program split
     astep = accumulating(step, fuse=False)
     ckpt = Checkpointer(args.model_output)
 

@@ -19,17 +19,25 @@ from vaeplay_tpu.train.state import TrainState
 from vaeplay_tpu.train.steps_be_gan import GanState
 
 
-def make_bcp_train_step(g_model, d_model):
+def make_bcp_train_step(g_model, d_model, compute_dtype=None):
     """jit (gan_state, imgs, labels, points, pmask) -> (gan_state, metrics).
 
     imgs (B, H, W, 3) [img, bmask, emask]; labels (B,); points (B, P, 6);
-    pmask (B, P) validity."""
+    pmask (B, P) validity.  compute_dtype=bfloat16 runs both nets' FLOPs in
+    bf16 with f32 master params / Adam state / losses (utils/amp.py)."""
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def g_forward(params, imgs, contours, counts):
-        return g_model.apply({"params": params}, imgs, contours, counts, train=True)
+        return to_f32(g_model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(imgs, compute_dtype), to_compute(contours, compute_dtype),
+            counts, train=True))
 
     def d_forward(params, imgs, targets):
-        return d_model.apply({"params": params}, imgs, targets, train=True)
+        return to_f32(d_model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(imgs, compute_dtype), to_compute(targets, compute_dtype),
+            train=True))
 
     @jax.jit
     def train_step(gs: GanState, imgs, labels, points, pmask):

@@ -50,20 +50,30 @@ def create_font_state(g_model, d_model, gv, dv, lr: float) -> FontState:
     return FontState(g=g, style_opt_state=s_tx.init(gv["params"]), d=d)
 
 
-def make_be_font_train_step(g_model, d_model, lr: float):
+def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
+    """compute_dtype=bfloat16 runs all three phases' FLOPs in bf16 with f32
+    master params / Adam state / BN stats / losses (utils/amp.py policy)."""
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
+
     s_tx = style_only_tx(lr)
 
     def g_apply(params, bs, imgs, y):
-        return g_model.apply(
-            {"params": params, "batch_stats": bs}, imgs, y=y, train=True,
-            mutable=["batch_stats"],
+        out, mut = g_model.apply(
+            {"params": to_compute(params, compute_dtype),
+             "batch_stats": to_compute(bs, compute_dtype)},
+            to_compute(imgs, compute_dtype), y=to_compute(y, compute_dtype),
+            train=True, mutable=["batch_stats"],
         )
+        return to_f32(out), to_f32(mut)
 
     def d_apply(params, bs, x, y):
-        return d_model.apply(
-            {"params": params, "batch_stats": bs}, x, y, train=True,
-            mutable=["batch_stats"],
+        out, mut = d_model.apply(
+            {"params": to_compute(params, compute_dtype),
+             "batch_stats": to_compute(bs, compute_dtype)},
+            to_compute(x, compute_dtype), to_compute(y, compute_dtype),
+            train=True, mutable=["batch_stats"],
         )
+        return to_f32(out), to_f32(mut)
 
     @jax.jit
     def train_step(fs: FontState, imgs, masks, edges, labels, styles):

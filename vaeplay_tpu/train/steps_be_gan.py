@@ -30,7 +30,8 @@ class GanState(struct.PyTreeNode):
     d: TrainState
 
 
-def make_be_gan_train_step(g_model, d_model, split: bool = True):
+def make_be_gan_train_step(g_model, d_model, split: bool = True,
+                           compute_dtype=None):
     """(gan_state, imgs, bimgs, eimgs, labels) -> (gan_state, metrics).
 
     With split=True (default) the D and G phases compile as TWO programs
@@ -39,19 +40,30 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True):
     memory-pressure scheduling makes it ~45x slower than the same FLOPs in
     the BE step; splitting halves peak temps and restores full speed.  The
     numerics are identical — the phases are sequential either way.
+
+    compute_dtype=bfloat16 runs forward/backward FLOPs of both nets in bf16;
+    master params / Adam state / BN stats / loss reductions stay f32
+    (utils/amp.py policy).
     """
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def g_apply(params, batch_stats, constants, imgs):
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = {"params": to_compute(params, compute_dtype),
+                     "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:
-            variables["constants"] = constants
-        return g_model.apply(variables, imgs, train=True, mutable=["batch_stats"])
+            variables["constants"] = to_compute(constants, compute_dtype)
+        out, mut = g_model.apply(variables, to_compute(imgs, compute_dtype),
+                                 train=True, mutable=["batch_stats"])
+        return to_f32(out), to_f32(mut)
 
     def d_apply(params, batch_stats, imgs, m1, m2):
-        return d_model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, m1, m2, train=True, mutable=["batch_stats"],
+        out, mut = d_model.apply(
+            {"params": to_compute(params, compute_dtype),
+             "batch_stats": to_compute(batch_stats, compute_dtype)},
+            to_compute(imgs, compute_dtype), to_compute(m1, compute_dtype),
+            to_compute(m2, compute_dtype), train=True, mutable=["batch_stats"],
         )
+        return to_f32(out), to_f32(mut)
 
     @jax.jit
     def d_phase(gs: GanState, imgs, bimgs, eimgs, labels):

@@ -24,16 +24,21 @@ def _pt_loss(preds, p2_targets):
     )
 
 
-def make_bp_train_step(model):
+def make_bp_train_step(model, compute_dtype=None):
     """jit (state, imgs, p1_targets, p2_targets) -> (state, metrics).
 
     imgs: (B, H, W, 3) stacked [img, bmask, emask] channels (dataset.py:414);
     p1_targets: (B, 5) normalized ellipse params; p2_targets: (B, 720, 6)
     per-sample-point [trigger, x, y, dx, dy, length].
+    compute_dtype=bfloat16 runs forward/backward FLOPs in bf16 with f32
+    master params / Adam state / losses (utils/amp.py policy).
     """
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def loss_phase1(params, imgs, p1_targets, p2_targets):
-        preds = model.apply({"params": params}, imgs, train=True)
+        preds = to_f32(model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(imgs, compute_dtype), train=True))
         el = L.ellipse_param_loss(preds["ellipse_params"], p1_targets)
         pt = _pt_loss(preds, p2_targets)
         total = (el["loss_cx"] + el["loss_cy"] + el["loss_rest"]
@@ -46,10 +51,11 @@ def make_bp_train_step(model):
         return total, metrics
 
     def loss_phase2(params, imgs, p1_scaled, p2_targets):
-        preds = model.apply(
-            {"params": params}, imgs, p1_scaled, train=True,
-            method=model.emit_line_only,
-        )
+        preds = to_f32(model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(imgs, compute_dtype), to_compute(p1_scaled, compute_dtype),
+            train=True, method=model.emit_line_only,
+        ))
         pt = _pt_loss(preds, p2_targets)
         total = pt["trig_loss"] + pt["param_loss"]
         return total, {"pos_trig_loss": pt["trig_loss"],

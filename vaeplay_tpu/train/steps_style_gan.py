@@ -33,15 +33,28 @@ class StyleGanState(struct.PyTreeNode):
     d: TrainState
 
 
-def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int):
+def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
+                              compute_dtype=None):
+    """compute_dtype=bfloat16 runs E/G/D FLOPs in bf16 with f32 master
+    params / Adam state / loss math (KL included) (utils/amp.py policy)."""
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
+
     def E(params, x):
-        return e_model.apply({"params": params}, x, train=True)
+        return to_f32(e_model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(x, compute_dtype), train=True))
 
     def G(params, x_content, z, y):
-        return g_model.apply({"params": params}, x_content, z, y, train=True)
+        return to_f32(g_model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(x_content, compute_dtype), to_compute(z, compute_dtype),
+            y, train=True))
 
     def D(params, x, x_content):
-        return d_model.apply({"params": params}, x, x_content, train=True)
+        return to_f32(d_model.apply(
+            {"params": to_compute(params, compute_dtype)},
+            to_compute(x, compute_dtype), to_compute(x_content, compute_dtype),
+            train=True))
 
     @jax.jit
     def train_step(ss: StyleGanState, x_target, x_content, labels, rng):
