@@ -177,9 +177,11 @@ def bench_bc():
 
     # Reference working point: 256 points (networks_BC.py:25).  The 545M-param
     # refine FC + its Adam state live in bf16 (f32 exceeds single-chip HBM);
-    # the external bridge runs strided (16x less transfer/trace) and OVERLAPPED:
-    # batch i+1's stage A + host trace run while batch i's train program is on
-    # the device (one-step-stale contours, --bridge overlap).
+    # the external bridge runs strided (16x less transfer/trace) and FULLY
+    # overlapped: a worker thread owns the blocking device→host sync + contour
+    # trace of batch i while the main thread keeps dispatching device work —
+    # without the thread, the per-step jax.device_get eats the tunnel's ~50ms
+    # sync latency on the critical path (--bridge overlap).
     IMG, BS, MP, STRIDE = 256, 32, 256, 4
     model = ComposeNet(max_points=MP, refine_fc_dtype="bfloat16")
     v = jit_init(model, {"params": jax.random.PRNGKey(0)},
@@ -188,32 +190,43 @@ def bench_bc():
                               frozen_backbone_adam(1e-4),
                               constants=v.get("constants"))
     external = not supports_host_callback()
-    step = make_bc_train_step(model, max_points=MP, external_contours=external)
-    mask_step = make_bc_mask_step(model, stride=STRIDE) if external else None
+    step = make_bc_train_step(model, max_points=MP, external_contours=external,
+                              compute_dtype=jnp.bfloat16)
+    mask_step = (make_bc_mask_step(model, stride=STRIDE,
+                                   compute_dtype=jnp.bfloat16)
+                 if external else None)
     mask_w = -(-(IMG + 2) // STRIDE)
     b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(BS)
     base = tuple(jnp.asarray(b[k]) for k in
                  ("imgs", "bimgs", "eimgs", "tgt_pts", "tgt_mask", "key_pts", "key_mask"))
-    holder = {"s": state, "pending": None}
+    from concurrent.futures import ThreadPoolExecutor
+
+    tracer = ThreadPoolExecutor(1)
+
+    def trace_job(packed):
+        masks = unpack_mask_bits(packed, mask_w)   # blocking sync, off-thread
+        pts, counts = batch_find_contours(masks, MP)
+        return pts * np.float32(STRIDE), counts
+
+    holder = {"s": state, "fut": None}
 
     def run(*a):
         if external:
-            packed = mask_step(holder["s"], a[0])
+            packed = mask_step(holder["s"], a[0])  # async device dispatch
+            fut = tracer.submit(trace_job, packed)
             m = packed
-            if holder["pending"] is not None:
-                masks = unpack_mask_bits(holder["pending"], mask_w)
-                pts, counts = batch_find_contours(masks, MP)
+            if holder["fut"] is not None:
+                pts, counts = holder["fut"].result()  # overlapped w/ device
                 holder["s"], m = step(
-                    holder["s"], a[0],
-                    jnp.asarray(pts * np.float32(STRIDE)),
+                    holder["s"], a[0], jnp.asarray(pts),
                     jnp.asarray(counts), *a[1:])
-            holder["pending"] = packed
+            holder["fut"] = fut
         else:
             holder["s"], m = step(holder["s"], *a)
         return m
 
     dt = timeit(run, base, warmup=3, iters=10)
-    tag = " [ext bridge: overlap, stride4, bf16 refine]" if external else ""
+    tag = " [ext bridge: overlap, stride4, bf16]" if external else " [bf16]"
     return f"BC 256px bs{BS} {MP}pts (reference config){tag}", dt, BS
 
 

@@ -57,6 +57,11 @@ def main(argv=None):
                              "stale masks) while batch i's train step runs on "
                              "device; sync: exact reference semantics, one "
                              "blocking host round-trip per step")
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"),
+                        help="compute dtype for backbone/head conv FLOPs "
+                             "(independent of --refine_dtype); master "
+                             "params/opt state/BN stats/losses stay f32")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
@@ -121,10 +126,14 @@ def main(argv=None):
     if external:
         print("host callbacks unsupported on this runtime; using the "
               "two-program external-contour bridge")
+    from vaeplay_tpu.utils.amp import resolve_dtype
+    cdtype = resolve_dtype(args.dtype)
     step = make_bc_train_step(model, max_points=args.max_points,
-                              external_contours=external)
+                              external_contours=external,
+                              compute_dtype=cdtype)
     stride = max(args.bridge_stride, 1)
-    mask_step = make_bc_mask_step(model, stride=stride) if external else None
+    mask_step = (make_bc_mask_step(model, stride=stride, compute_dtype=cdtype)
+                 if external else None)
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
     import numpy as np
@@ -132,38 +141,50 @@ def main(argv=None):
     # width of the (padded, possibly strided) stage-A mask rows
     mask_w = -(-(args.img_size + 2) // stride)
 
-    def trace_and_train(state, acc, cnt, tensors, packed):
-        """Unpack stage-A bits on the host, trace contours (native C++),
-        scale back to full resolution, and dispatch the train program."""
+    # a worker thread owns the blocking device→host sync (np.asarray on the
+    # packed bits) + the native contour trace, so the main thread never stalls
+    # on the tunnel's sync latency — stage A of batch i syncs/traces while
+    # batch i-1's train program runs on the device
+    from concurrent.futures import ThreadPoolExecutor
+
+    tracer = ThreadPoolExecutor(1)
+
+    def trace_job(packed):
         masks = unpack_mask_bits(packed, mask_w)
         pts, counts = batch_find_contours(
             masks, max_points=args.max_points, threshold=0.5)
         if stride > 1:
             pts = pts * np.float32(stride)
+        return pts, counts
+
+    def trace_and_train(state, acc, cnt, tensors, fut):
+        """Join the (overlapped) host contour trace and dispatch the train
+        program for its batch."""
+        pts, counts = fut.result()
         pts_d, counts_d = shard_batch(mesh, (pts, counts))
         full = (tensors[0], pts_d, counts_d) + tensors[1:]
         return astep(state, acc, cnt, *full)
 
     for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
-        pending = None  # (tensors, packed) waiting for its host contour trace
+        pending = None  # (tensors, trace future) awaiting its train dispatch
         for i, b in enumerate(dset.epoch_batches(args.batchsize, epoch)):
             tensors = shard_batch(mesh, (
                 b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"],
                 b["tgt_mask"], b["key_pts"], b["key_mask"],
             ))
             if external:
-                # dispatch stage A for THIS batch first so its trace can
+                # dispatch stage A for THIS batch first so its sync + trace
                 # overlap the previous batch's train program on device
-                packed = mask_step(state, tensors[0])
+                fut = tracer.submit(trace_job, mask_step(state, tensors[0]))
                 if args.bridge == "overlap":
                     if pending is not None:
                         state, acc, cnt = trace_and_train(
                             state, acc, cnt, *pending)
-                    pending = (tensors, packed)
+                    pending = (tensors, fut)
                 else:
                     state, acc, cnt = trace_and_train(
-                        state, acc, cnt, tensors, packed)
+                        state, acc, cnt, tensors, fut)
             else:
                 state, acc, cnt = astep(state, acc, cnt, *tensors)
             if (i + 1) % args.viz_freq == 0 and cnt is not None:

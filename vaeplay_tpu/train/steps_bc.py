@@ -14,7 +14,8 @@ from vaeplay_tpu.ops import losses as L
 from vaeplay_tpu.train.state import TrainState
 
 
-def make_bc_train_step(model, max_points: int = 256, external_contours: bool = False):
+def make_bc_train_step(model, max_points: int = 256, external_contours: bool = False,
+                       compute_dtype=None):
     """jit step for BC.
 
     callback mode (default):  (state, imgs, bimgs, eimgs, tgt...) — contour
@@ -23,17 +24,24 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
     (state, imgs, pts, counts, bimgs, eimgs, tgt...) — the caller traces
     contours between a jitted `mask_probs` pass and this step (use
     `make_bc_mask_step` + ops.contour.batch_find_contours).
+
+    compute_dtype=bfloat16 runs the backbone/head conv FLOPs in bf16 on top
+    of the (independently controlled) refine-FC dtype; master params / Adam
+    moments / BN stats / losses stay f32 (utils/amp.py policy).
     """
+    from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def loss_fn(params, batch_stats, constants, imgs, contours, bimgs, eimgs,
                 tgt_pts, tgt_mask, key_pts, key_mask):
-        variables = {"params": params, "batch_stats": batch_stats}
+        variables = {"params": to_compute(params, compute_dtype),
+                     "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:
-            variables["constants"] = constants
+            variables["constants"] = to_compute(constants, compute_dtype)
         preds, mut = model.apply(
-            variables, imgs, train=True, contours=contours,
-            mutable=["batch_stats"],
+            variables, to_compute(imgs, compute_dtype), train=True,
+            contours=contours, mutable=["batch_stats"],
         )
+        preds, mut = to_f32(preds), to_f32(mut)
         loss_edge = L.mask_edge_losses(preds["edges"], eimgs)
         loss_mask = L.mask_edge_losses(preds["masks"], bimgs)
         n = preds["contours"].shape[1]
@@ -72,7 +80,7 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
     return train_step
 
 
-def make_bc_mask_step(model, stride: int = 1):
+def make_bc_mask_step(model, stride: int = 1, compute_dtype=None):
     """Stage A for external-contour mode: jit (state, imgs) → bit-packed
     thresholded mask (train-mode statistics, batch_stats updates discarded —
     the contour source matches the training forward's mask,
@@ -80,16 +88,19 @@ def make_bc_mask_step(model, stride: int = 1):
     `unpack_mask_bits` before the host contour trace; packing cuts the
     device→host tunnel transfer 32x vs f32 probabilities, and stride=4
     subsamples the mask first for another 16x (trace coords scale back by
-    `stride` on the host)."""
+    `stride` on the host).  compute_dtype matches the train step's policy
+    (the mask is thresholded at 0.5, insensitive to bf16 rounding)."""
+    from vaeplay_tpu.utils.amp import to_compute
 
     @jax.jit
     def mask_step(state: TrainState, imgs):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": to_compute(state.params, compute_dtype),
+                     "batch_stats": to_compute(state.batch_stats, compute_dtype)}
         if state.constants:
-            variables["constants"] = state.constants
+            variables["constants"] = to_compute(state.constants, compute_dtype)
         packed, _ = model.apply(
-            variables, imgs, train=True, stride=stride,
-            method=model.mask_bits, mutable=["batch_stats"],
+            variables, to_compute(imgs, compute_dtype), train=True,
+            stride=stride, method=model.mask_bits, mutable=["batch_stats"],
         )
         return packed
 
