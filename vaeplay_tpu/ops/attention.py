@@ -192,6 +192,14 @@ def use_pallas() -> bool:
     1.2-1.8x faster than the flash kernel — the head dims here are far below
     the 128-lane MXU width, so the kernel's blockwise rescaling overhead
     dominates while XLA fuses the whole softmax-attention pattern natively.
+
+    Round-2 follow-up at the repo's LARGEST attention workload — a full BCP
+    train step (512px, bs16) with the 3-block point-attention stack ON at the
+    4096-pt model cap (networks_BCP.py:71): XLA path 1.93 ms/step vs Pallas
+    forward + XLA backward 1.89 ms/step — statistically identical, and only
+    ~0.1 ms over the attention-off step.  XLA's fusion already avoids
+    materializing the N^2 energy matrix at these head dims, including in the
+    backward, so a handwritten flash backward has no headroom to win here.
     The kernel therefore ships OFF by default and is kept for (a) shapes
     where the N^2 energy matrix would not fuse/fit, and (b) as the basis for
     future sharded/ring attention; enable with VAEPLAY_FORCE_PALLAS=1.
