@@ -152,3 +152,47 @@ def test_bc_external_bridge_train_step(bc_state):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(state2.step) == int(state.step) + 1
+
+
+def test_bc_dp_tp_sharded_step(eight_devices):
+    """BC under a 4x2 (data x model) mesh: the RefineNet FC kernel — 545M
+    params at the reference 256-pt capacity, the reason round 1 ran at half
+    capacity — tensor-shards over "model" (the multi-chip alternative to the
+    bf16 working point), batch shards over "data", and the external-bridge
+    train step runs with finite losses."""
+    from vaeplay_tpu.ops.contour import batch_find_contours
+    from vaeplay_tpu.parallel.mesh import (
+        create_mesh, replicate, shard_batch, shard_params)
+    from vaeplay_tpu.train.steps_bc import (
+        make_bc_mask_step, make_bc_train_step, unpack_mask_bits)
+
+    model = ComposeNet(max_points=MP)
+    x = jnp.zeros((1, IMG, IMG, 3))
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)}, x)
+    state = TrainState.create(
+        model.apply, v["params"], v["batch_stats"], frozen_backbone_adam(1e-4),
+        constants=v.get("constants"))
+    mesh = create_mesh(n_data=4, n_model=2)
+    state = replicate(mesh, state)
+    state = state.replace(params=shard_params(mesh, state.params),
+                          opt_state=shard_params(mesh, state.opt_state))
+    fc0 = state.params["refine_net"]["fc0"]["kernel"]
+    spec = fc0.sharding.spec
+    assert tuple(spec) == (None, "model"), spec  # actually tensor-sharded
+
+    b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(8)
+    tensors = shard_batch(mesh, (
+        b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"], b["tgt_mask"],
+        b["key_pts"], b["key_mask"]))
+    packed = make_bc_mask_step(model)(state, tensors[0])
+    masks = unpack_mask_bits(jax.device_get(packed), IMG + 2)
+    pts, counts = batch_find_contours(masks, max_points=MP, threshold=0.5)
+    pts_d, counts_d = shard_batch(mesh, (pts, counts))
+    step = make_bc_train_step(model, max_points=MP, external_contours=True)
+    state2, metrics = step(state, tensors[0], pts_d, counts_d, *tensors[1:])
+    for k, val in metrics.items():
+        assert np.isfinite(float(val)), (k, float(val))
+    # the update must preserve the tensor sharding (no silent all-gather
+    # into replicated storage)
+    fc0_2 = state2.params["refine_net"]["fc0"]["kernel"]
+    assert tuple(fc0_2.sharding.spec) == (None, "model")

@@ -14,7 +14,8 @@ import optax
 
 from vaeplay_tpu.data.bc_data import BCDataset, SyntheticBCDataset
 from vaeplay_tpu.models.bc import ComposeNet
-from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from vaeplay_tpu.parallel.mesh import (
+    parse_mesh_arg, replicate, shard_batch, shard_params)
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, path_labeled_transform
@@ -62,6 +63,12 @@ def main(argv=None):
                         help="compute dtype for backbone/head conv FLOPs "
                              "(independent of --refine_dtype); master "
                              "params/opt state/BN stats/losses stay f32")
+    parser.add_argument("--mesh", type=str, dest="mesh", default=None,
+                        help="device mesh as DATAxMODEL, e.g. 4x2: batch on "
+                             "data; the 545M-param RefineNet FC kernel (and "
+                             "its Adam state) tensor-shards over model — the "
+                             "multi-chip alternative to --refine_dtype bf16 "
+                             "for the 256-pt capacity")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
@@ -115,17 +122,30 @@ def main(argv=None):
         model.apply, variables["params"], variables["batch_stats"], tx,
         constants=variables.get("constants"),
     )
-    mesh = create_mesh()
+    mesh = parse_mesh_arg(args.mesh)
     start_epoch = 0
     if args.resume:
         state, tag = restore_state(args.resume, state)
         start_epoch = tag + 1
         print(f"resumed epoch {tag} from {args.resume}")
     state = replicate(mesh, state)
-    external = not supports_host_callback()
+    if mesh.shape["model"] > 1:
+        # tensor parallelism: the RefineNet FC kernels (fc0 is 545M params,
+        # networks_BC.py:165-176) and their Adam moments shard on "model"
+        state = state.replace(params=shard_params(mesh, state.params),
+                              opt_state=shard_params(mesh, state.opt_state))
+        print(f"mesh data={mesh.shape['data']} model={mesh.shape['model']}: "
+              "refine FC tensor-sharded on the model axis")
+    n_devices = mesh.devices.size
+    external = not supports_host_callback() or n_devices > 1
     if external:
-        print("host callbacks unsupported on this runtime; using the "
-              "two-program external-contour bridge")
+        # pure_callback in an SPMD program runs on device 0 only ({maximal
+        # device=0} sharding) and deadlocks the other devices' collectives —
+        # any multi-device mesh must use the external-contour bridge
+        print("using the two-program external-contour bridge"
+              + (f" (required for the {n_devices}-device mesh)"
+                 if supports_host_callback() else
+                 " (host callbacks unsupported on this runtime)"))
     from vaeplay_tpu.utils.amp import resolve_dtype
     cdtype = resolve_dtype(args.dtype)
     step = make_bc_train_step(model, max_points=args.max_points,
