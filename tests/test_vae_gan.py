@@ -168,3 +168,41 @@ def test_tp_actually_shards_kernels(eight_devices):
     sh = infer_param_sharding(mesh, state.params, min_dim=512)
     specs = [s.spec for s in jax.tree_util.tree_leaves(sh)]
     assert any("model" in str(s) for s in specs), "no kernel got TP-sharded"
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint rematerialization must be numerically IDENTICAL to the
+    plain step (same program, activations recomputed in the backward)."""
+    import numpy as np
+
+    from vaeplay_tpu.data.circles import CircleDataset
+    from vaeplay_tpu.train.state import grouped_transform, torch_rmsprop
+    from vaeplay_tpu.train.steps_vae import make_circle_train_step
+
+    img = 32
+    model = VaeGan(img_size=img, z_size=16)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "noise": jax.random.PRNGKey(1)},
+                   jnp.zeros((2, img, img, 1)))
+    tx = grouped_transform(
+        {k: torch_rmsprop(1e-4) for k in
+         ("encoder", "decoder", "discriminator", "param_encoder")},
+        v["params"])
+    pb = jnp.asarray(next(CircleDataset(n=img, min_radius=4,
+                                        data_size=4).epoch_batches(4)))
+
+    def run(remat):
+        state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
+        step = make_circle_train_step(model, img, remat=remat)
+        state, m = step(state, pb, jax.random.PRNGKey(2))
+        return state, m
+
+    s0, m0 = run(False)
+    s1, m1 = run(True)
+    for k in m0:
+        assert np.allclose(float(m0[k]), float(m1[k]), rtol=1e-5), (
+            k, float(m0[k]), float(m1[k]))
+    l0 = jax.tree_util.tree_leaves(s0.params)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    for a, b in zip(l0, l1):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

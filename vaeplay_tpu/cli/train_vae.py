@@ -77,6 +77,11 @@ def main(argv=None):
                         choices=("float32", "f32", "bfloat16", "bf16"),
                         help="compute dtype for forward/backward FLOPs; "
                              "master params/opt state/BN stats/losses stay f32")
+    parser.add_argument("--remat", action="store_true", dest="remat",
+                        help="rematerialize the forward in the backward "
+                             "(jax.checkpoint): trades FLOPs for HBM "
+                             "headroom at larger per-chip batches; "
+                             "numerically identical to the plain step")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
     parser.add_argument("--resume", type=str, dest="resume", default=None)
     parser.add_argument("--mesh", type=str, dest="mesh", default=None,
@@ -117,12 +122,14 @@ def main(argv=None):
         ds = DiskCircleDataset(args.path, args.img_size)
         assert len(ds) > 0, f"no filename-encoded circle files in {args.path}"
         print(f"disk mode: {len(ds)} pre-generated circles from {args.path}")
-        step = make_train_step(model, compute_dtype=cdtype)  # disk images
+        step = make_train_step(model, compute_dtype=cdtype,
+                               remat=args.remat)  # disk images
     else:
         ds = CircleDataset(n=args.img_size, min_radius=10,
                            data_size=args.data_size, seed=args.seed)
         step = make_circle_train_step(model, args.img_size,
-                                      compute_dtype=cdtype)  # on-device render
+                                      compute_dtype=cdtype,
+                                      remat=args.remat)  # on-device render
     rng = jax.random.PRNGKey(args.seed + 2)
 
     eval_step = make_eval_step(model)

@@ -57,16 +57,21 @@ def vae_gan_losses(outs, imgs, targets) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_train_step(model, compute_dtype=None):
+def make_train_step(model, compute_dtype=None, remat: bool = False):
     """Returns jit(state, imgs, targets, rng) -> (state, metrics).
 
     compute_dtype=bfloat16 runs the forward/backward FLOPs in bf16 while
     master params, optimizer state, BN statistics, and all loss reductions
-    stay f32 (utils/amp.py policy)."""
+    stay f32 (utils/amp.py policy).
+
+    remat=True wraps the whole training forward in jax.checkpoint, so the
+    backward recomputes activations instead of storing them — the memory/
+    FLOPs trade for HBM headroom at larger per-chip batches.  Numerics are
+    identical (tests/test_vae_gan.py::test_remat_step_matches_plain)."""
     from vaeplay_tpu.utils.amp import to_compute, to_f32
 
-    def loss_fn(params, batch_stats, imgs, targets, rng):
-        outs, mut = model.apply(
+    def fwd(params, batch_stats, imgs, rng):
+        return model.apply(
             {"params": to_compute(params, compute_dtype),
              "batch_stats": to_compute(batch_stats, compute_dtype)},
             to_compute(imgs, compute_dtype),
@@ -74,6 +79,12 @@ def make_train_step(model, compute_dtype=None):
             rngs={"noise": rng},
             mutable=["batch_stats"],
         )
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(params, batch_stats, imgs, targets, rng):
+        outs, mut = fwd(params, batch_stats, imgs, rng)
         m = vae_gan_losses(to_f32(outs), imgs, targets)
         total = (
             m["loss_recon"]
@@ -96,14 +107,15 @@ def make_train_step(model, compute_dtype=None):
     return train_step
 
 
-def make_circle_train_step(model, img_size: int, compute_dtype=None):
+def make_circle_train_step(model, img_size: int, compute_dtype=None,
+                           remat: bool = False):
     """Fused data + train step: takes raw (B, 3) [radius, cx, cy] circle params
     and renders the batch, encodes the targets, and runs the train step inside
     ONE jit program — zero host->device image traffic (the reference renders
     every circle on the CPU per sample, datasets/dataset.py:52-56)."""
     from vaeplay_tpu.ops.geometry import encode_circle_param, render_circle_batch
 
-    step = make_train_step(model, compute_dtype=compute_dtype)
+    step = make_train_step(model, compute_dtype=compute_dtype, remat=remat)
 
     @jax.jit
     def fused(state: TrainState, raw_params, rng):
