@@ -127,8 +127,8 @@ def test_strided_mask_bits_trace_accuracy():
 def test_bc_external_bridge_train_step(bc_state):
     """The two-program strided bridge end to end: stage A (stride 4) →
     host trace → external train step, finite losses."""
-    from vaeplay_tpu.ops.contour import batch_find_contours
-    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, unpack_mask_bits
+    from vaeplay_tpu.train.steps_bc import (
+        BridgeTracer, make_bc_mask_step, strided_mask_width, unpack_mask_bits)
 
     model, state = bc_state
     ds = SyntheticBCDataset(img_size=IMG, max_points=MP)
@@ -137,11 +137,11 @@ def test_bc_external_bridge_train_step(bc_state):
     stride = 4
     mask_step = make_bc_mask_step(model, stride=stride)
     packed = mask_step(state, imgs)
-    mask_w = -(-(IMG + 2) // stride)
+    mask_w = strided_mask_width(IMG, stride)
     masks = unpack_mask_bits(packed, mask_w)
     assert masks.shape == (2, mask_w, mask_w)
-    pts, counts = batch_find_contours(masks, max_points=MP, threshold=0.5)
-    pts = pts * np.float32(stride)
+    # BridgeTracer.trace = the same unpack + trace + rescale the CLIs use
+    pts, counts = BridgeTracer(IMG, stride, MP).trace(packed)
     step = make_bc_train_step(model, max_points=MP, external_contours=True)
     state2, metrics = step(
         state, imgs, jnp.asarray(pts), jnp.asarray(counts),
@@ -196,3 +196,22 @@ def test_bc_dp_tp_sharded_step(eight_devices):
     # into replicated storage)
     fc0_2 = state2.params["refine_net"]["fc0"]["kernel"]
     assert tuple(fc0_2.sharding.spec) == (None, "model")
+
+
+def test_make_embedding_tensor_one_hot_planes():
+    """CASE-2 pathway (networks_BC.py:39-52): one plane per valid point with
+    a single 1 at its (y, x); padded points produce all-zero planes."""
+    from vaeplay_tpu.models.bc import make_embedding_tensor
+
+    pts = jnp.asarray([[[1.0, 2.0], [3.0, 0.0], [9.0, 9.0]],
+                       [[0.0, 0.0], [5.0, 5.0], [2.0, 1.0]]])
+    counts = jnp.asarray([2, 1])
+    planes = np.asarray(make_embedding_tensor(pts, counts, 4, 4))
+    assert planes.shape == (2, 3, 4, 4)
+    # sample 0: two valid points at (y=2, x=1) and (y=0, x=3)
+    assert planes[0, 0, 2, 1] == 1.0 and planes[0, 0].sum() == 1.0
+    assert planes[0, 1, 0, 3] == 1.0 and planes[0, 1].sum() == 1.0
+    assert planes[0, 2].sum() == 0.0  # padded point -> zero plane
+    # sample 1: only the first point valid; coords clipped into range
+    assert planes[1, 0, 0, 0] == 1.0 and planes[1, 0].sum() == 1.0
+    assert planes[1, 1].sum() == 0.0 and planes[1, 2].sum() == 0.0

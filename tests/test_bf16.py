@@ -59,6 +59,54 @@ def test_vae_bf16_trajectory_tracks_f32():
             assert np.isfinite(val), (k, val)
 
 
+def test_merge_batch_stats_preserves_sub_ulp_increments():
+    """The f32-master BN-stats accumulation: EMA increments far below the
+    bf16 ulp must survive repeated steps instead of being requantized away."""
+    from vaeplay_tpu.utils.amp import merge_batch_stats
+
+    # flax BatchNorm computes the EMA update in f32 even when the stored
+    # running value was cast to bf16 for the forward (batch stats are f32,
+    # promotion lifts the whole expression) — so `mut` carries the increment
+    # at f32 precision relative to the bf16-rounded running value.
+    momentum = 0.999  # increment per step = 1e-3 * (batch - running)
+    master = jnp.asarray([1.0], jnp.float32)
+    target = jnp.asarray([1.01], jnp.float32)  # batch statistic, constant
+    naive = master
+    for _ in range(50):
+        seen = master.astype(jnp.bfloat16).astype(jnp.float32)
+        mut = momentum * seen + (1 - momentum) * target  # f32, like flax
+        master = merge_batch_stats(master, mut, jnp.bfloat16)
+        # the defective policy: requantize the running value to bf16 each step
+        seen_n = naive.astype(jnp.bfloat16).astype(jnp.float32)
+        naive = (momentum * seen_n + (1 - momentum) * target).astype(
+            jnp.bfloat16).astype(jnp.float32)
+        assert master.dtype == jnp.float32
+    exact = 1.0 + (0.01) * (1 - momentum ** 50)
+    # master accumulation tracks the exact f32 EMA closely (residual error
+    # comes only from the bf16-rounded value the forward normalizes with)...
+    assert abs(float(master[0]) - exact) < 5e-5, (float(master[0]), exact)
+    # ...while bf16 requantization loses every increment (1e-5 < bf16 ulp at 1.0)
+    assert float(naive[0]) == 1.0
+    # f32 compute passes mutated through untouched
+    passthrough = merge_batch_stats(jnp.asarray([2.0]), jnp.asarray([3.0]), None)
+    assert float(passthrough[0]) == 3.0
+
+
+def test_conv_block_bn_preserves_bf16_chain():
+    """BatchNorm/GroupNorm must not upcast a bf16 activation chain to f32
+    (flax norms return f32 by default, which would silently disable mixed
+    precision for every layer downstream of the first norm)."""
+    from vaeplay_tpu.core.layers import ConvBlock
+
+    x = jnp.zeros((1, 8, 8, 3), jnp.bfloat16)
+    for norm in ("batch", "instance"):
+        m = ConvBlock(4, 3, bn=norm)
+        v = m.init(jax.random.PRNGKey(0), x)
+        v16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), v)
+        out = m.apply(v16, x, mutable=["batch_stats"])[0]
+        assert out.dtype == jnp.bfloat16, norm
+
+
 def test_be_bf16_step_finite_and_f32_state():
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.be import ComposeNet

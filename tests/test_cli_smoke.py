@@ -131,8 +131,9 @@ def test_cli_test_be_manga_mask_route(manga_tree, tmp_path):
     assert results, "mask route wrote no page"
     rgb = np.asarray(Image.open(results[0]))
     assert rgb.shape == (256, 256, 3)
-    # the content channel (BGR index 2) must carry the coarse bubble region
-    assert (rgb[..., 2] == 255).sum() > 100
+    # the content channel (file RED, matching the reference's cv2-written
+    # PNG and load_manga_from_mask's read) must carry the coarse bubble region
+    assert (rgb[..., 0] == 255).sum() > 100
 
 
 def test_cli_test_be_gan_manga(manga_tree, tmp_path):

@@ -77,13 +77,20 @@ def test_paste_result_roundtrip(synthetic_page):
                                 str(tmp_path), "result")
     assert os.path.exists(tmp_path / "result.png")
     assert out.shape == (256, 256, 3)
-    # background stays white, some content (B channel) painted
+    # background stays white; content paints the file's RED channel (the
+    # reference writes [edge, class, content] through cv2/BGR, so its PNG —
+    # and load_manga_from_mask's red-channel read — put content at index 0)
     assert (out[0, 0] == 255).all()
-    painted = (out[:, :, 2] == 255) & (out[:, :, 0] == 0)
+    painted = (out[:, :, 0] == 255) & (out[:, :, 2] == 0)
     assert painted.sum() > 100
     # class channel carries the bubble label where painted
     labels_present = set(np.unique(out[:, :, 1][painted]).tolist())
     assert labels_present <= {1, 2}
+    # file-level contract: the written PNG must be consumable by
+    # load_manga_from_mask (red-channel content read, ref test_BE_manga.py:231)
+    reloaded = load_manga_from_mask(img_path, str(tmp_path / "result.png"), 64)
+    assert reloaded["images"].shape[0] >= 1
+    assert set(reloaded["labels"].tolist()) <= {1, 2}
 
 
 def test_paste_noframe_uses_dilated_box(synthetic_page):

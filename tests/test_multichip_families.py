@@ -21,6 +21,18 @@ IMG = 64
 B = 8
 
 
+@pytest.fixture(autouse=True)
+def _release_executables():
+    """Each family's 8-device SPMD programs are large; keeping all of them
+    alive in one process can abort the XLA:CPU runtime partway through the
+    module (observed as a hard `Fatal Python error: Aborted` while fetching
+    the 5th family's metrics).  Tests in this module never reuse another
+    test's compiled step, so dropping the compilation cache between tests
+    costs nothing and keeps the runtime's live-executable set bounded."""
+    yield
+    jax.clear_caches()
+
+
 def _finite(metrics):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
@@ -108,9 +120,8 @@ def test_bc_dp_step_external_bridge(eight_devices):
     sharded, host trace, stage B sharded."""
     from vaeplay_tpu.data.bc_data import SyntheticBCDataset
     from vaeplay_tpu.models.bc import ComposeNet
-    from vaeplay_tpu.ops.contour import batch_find_contours
     from vaeplay_tpu.train.steps_bc import (
-        make_bc_mask_step, make_bc_train_step, unpack_mask_bits)
+        BridgeTracer, make_bc_mask_step, make_bc_train_step)
 
     mp, stride = 64, 4
     model = ComposeNet(max_points=mp)
@@ -126,9 +137,8 @@ def test_bc_dp_step_external_bridge(eight_devices):
         b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"], b["tgt_mask"],
         b["key_pts"], b["key_mask"]))
     packed = make_bc_mask_step(model, stride=stride)(state, tensors[0])
-    masks = unpack_mask_bits(jax.device_get(packed), -(-(IMG + 2) // stride))
-    pts, counts = batch_find_contours(masks, max_points=mp, threshold=0.5)
-    pts_d, counts_d = shard_batch(mesh, (pts * np.float32(stride), counts))
+    pts, counts = BridgeTracer(IMG, stride, mp).trace(jax.device_get(packed))
+    pts_d, counts_d = shard_batch(mesh, (pts, counts))
     step = make_bc_train_step(model, max_points=mp, external_contours=True)
     state, metrics = step(state, tensors[0], pts_d, counts_d, *tensors[1:])
     _finite(metrics)

@@ -171,9 +171,9 @@ def bench_bp():
 def bench_bc():
     from vaeplay_tpu.data.bc_data import SyntheticBCDataset
     from vaeplay_tpu.models.bc import ComposeNet
-    from vaeplay_tpu.ops.contour import batch_find_contours
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
-    from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step, unpack_mask_bits
+    from vaeplay_tpu.train.steps_bc import (
+        BridgeTracer, make_bc_mask_step, make_bc_train_step)
 
     # Reference working point: 256 points (networks_BC.py:25).  The 545M-param
     # refine FC + its Adam state live in bf16 (f32 exceeds single-chip HBM);
@@ -195,25 +195,17 @@ def bench_bc():
     mask_step = (make_bc_mask_step(model, stride=STRIDE,
                                    compute_dtype=jnp.bfloat16)
                  if external else None)
-    mask_w = -(-(IMG + 2) // STRIDE)
     b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(BS)
     base = tuple(jnp.asarray(b[k]) for k in
                  ("imgs", "bimgs", "eimgs", "tgt_pts", "tgt_mask", "key_pts", "key_mask"))
-    from concurrent.futures import ThreadPoolExecutor
-
-    tracer = ThreadPoolExecutor(1)
-
-    def trace_job(packed):
-        masks = unpack_mask_bits(packed, mask_w)   # blocking sync, off-thread
-        pts, counts = batch_find_contours(masks, MP)
-        return pts * np.float32(STRIDE), counts
+    tracer = BridgeTracer(IMG, STRIDE, MP)
 
     holder = {"s": state, "fut": None}
 
     def run(*a):
         if external:
             packed = mask_step(holder["s"], a[0])  # async device dispatch
-            fut = tracer.submit(trace_job, packed)
+            fut = tracer.submit(packed)            # blocking sync, off-thread
             m = packed
             if holder["fut"] is not None:
                 pts, counts = holder["fut"].result()  # overlapped w/ device

@@ -19,8 +19,8 @@ from vaeplay_tpu.parallel.mesh import (
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, path_labeled_transform
-from vaeplay_tpu.ops.contour import batch_find_contours
-from vaeplay_tpu.train.steps_bc import make_bc_mask_step, make_bc_train_step, unpack_mask_bits
+from vaeplay_tpu.train.steps_bc import (
+    BridgeTracer, make_bc_mask_step, make_bc_train_step)
 from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -156,26 +156,7 @@ def main(argv=None):
                  if external else None)
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
-    import numpy as np
-
-    # width of the (padded, possibly strided) stage-A mask rows
-    mask_w = -(-(args.img_size + 2) // stride)
-
-    # a worker thread owns the blocking device→host sync (np.asarray on the
-    # packed bits) + the native contour trace, so the main thread never stalls
-    # on the tunnel's sync latency — stage A of batch i syncs/traces while
-    # batch i-1's train program runs on the device
-    from concurrent.futures import ThreadPoolExecutor
-
-    tracer = ThreadPoolExecutor(1)
-
-    def trace_job(packed):
-        masks = unpack_mask_bits(packed, mask_w)
-        pts, counts = batch_find_contours(
-            masks, max_points=args.max_points, threshold=0.5)
-        if stride > 1:
-            pts = pts * np.float32(stride)
-        return pts, counts
+    tracer = BridgeTracer(args.img_size, stride, args.max_points)
 
     def trace_and_train(state, acc, cnt, tensors, fut):
         """Join the (overlapped) host contour trace and dispatch the train
@@ -196,7 +177,7 @@ def main(argv=None):
             if external:
                 # dispatch stage A for THIS batch first so its sync + trace
                 # overlap the previous batch's train program on device
-                fut = tracer.submit(trace_job, mask_step(state, tensors[0]))
+                fut = tracer.submit(mask_step(state, tensors[0]))
                 if args.bridge == "overlap":
                     if pending is not None:
                         state, acc, cnt = trace_and_train(

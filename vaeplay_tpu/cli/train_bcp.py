@@ -84,9 +84,18 @@ def main(argv=None):
     d = TrainState.create(d_model.apply, dv["params"], None, torch_adam(args.lr_disc))
     mesh = parse_mesh_arg(args.mesh)
     if args.point_attention and mesh.shape["model"] > 1:
-        configure_ring_attention(mesh, min_n=min(1024, args.max_points))
-        print(f"ring attention: point axis ({args.max_points}) sharded over "
-              f"{mesh.shape['model']} model-axis devices")
+        from vaeplay_tpu.ops.attention import ring_attention_active
+
+        # clear_caches=False: configured before any step function traces
+        configure_ring_attention(mesh, min_n=min(1024, args.max_points),
+                                 clear_caches=False)
+        if ring_attention_active(args.max_points):
+            print(f"ring attention: point axis ({args.max_points}) sharded "
+                  f"over {mesh.shape['model']} model-axis devices")
+        else:
+            print(f"ring attention NOT active: max_points ({args.max_points}) "
+                  f"must be divisible by the model axis "
+                  f"({mesh.shape['model']}) — attention runs unsharded")
     gs = GanState(g=g, d=d)
     start_epoch = 0
     if args.resume:

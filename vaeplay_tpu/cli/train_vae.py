@@ -148,7 +148,7 @@ def main(argv=None):
             # metrics accumulate on device; the host only syncs at viz_freq
             if args.path:
                 imgs_np, pb = batch
-                targets = np.asarray(encode_targets(args.img_size, pb))
+                targets = encode_targets(args.img_size, pb)  # host numpy
                 imgs_d, targets_d = shard_batch(mesh, (imgs_np, targets))
                 state, acc, cnt = astep(state, acc, cnt, imgs_d, targets_d, sub)
             else:

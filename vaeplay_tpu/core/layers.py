@@ -75,12 +75,14 @@ class ConvBlock(nn.Module):
             name="conv",
         )(x)
         if self.bn == "batch":
+            # .astype: flax norms compute/return f32; cast back so a bf16
+            # mixed-precision chain stays bf16 downstream (utils/amp.py)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=1e-5,
                 name="norm",
-            )(x)
+            )(x).astype(x.dtype)
         elif self.bn == "instance":
             # torch InstanceNorm2d default: affine=False, track_running_stats=False
             x = nn.GroupNorm(
@@ -90,7 +92,7 @@ class ConvBlock(nn.Module):
                 use_bias=False,
                 use_scale=False,
                 name="norm",
-            )(x)
+            )(x).astype(x.dtype)
         elif self.bn is not None:
             raise ValueError(f"unknown norm {self.bn!r}")
         return apply_activation(x, self.activate, self.lrelu_slope)

@@ -12,10 +12,7 @@ import os
 from dataclasses import dataclass
 from typing import Iterator, Tuple
 
-import jax.numpy as jnp
 import numpy as np
-
-from vaeplay_tpu.ops.geometry import encode_circle_param
 
 
 @dataclass
@@ -115,10 +112,17 @@ class DiskCircleDataset:
             yield imgs, self.params[sel]
 
 
-def encode_targets(n: int, params: np.ndarray) -> jnp.ndarray:
+def encode_targets(n: int, params: np.ndarray) -> np.ndarray:
     """(B, 3) raw [radius, cx, cy] → (B, 3) encoded [log r/n, x, y] targets —
-    the collate_fn's encoding (datasets/dataset.py:71-93)."""
-    enc = encode_circle_param(
-        n, jnp.asarray(params[:, 0]), jnp.asarray(params[:, 1]), jnp.asarray(params[:, 2])
-    )
-    return jnp.stack([enc["radius"], enc["x"], enc["y"]], axis=-1)
+    the collate_fn's encoding (datasets/dataset.py:71-93).
+
+    Pure numpy on purpose: this runs on the host per training batch (disk
+    mode), and eager jnp ops here would cost a device round-trip each
+    (CLAUDE.md tunnel rules).  Mirrors ops/geometry.encode_circle_param."""
+    params = np.asarray(params, np.float32)
+    half = n // 2
+    return np.stack([
+        np.log(params[:, 0] / n),
+        (params[:, 1] - half) / half,
+        (params[:, 2] - half) / half,
+    ], axis=-1).astype(np.float32)

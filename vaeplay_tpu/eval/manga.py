@@ -4,7 +4,8 @@ test_BE_manga.py (the "serve" path):
   page → per-bubble square crops (connected components of a coarse mask, or
   labelme boxes) → batched BE/BE_GAN inference on TPU → paste thresholded
   masks back at original page coordinates with occupancy dedupe and NoFrame
-  dilation → BGR-encoded class/edge/content PNG.
+  dilation → content/class/edge PNG (file-RGB; byte-identical to the
+  reference's cv2-written BGR output).
 
   load_manga_from_mask       test_BE_manga.py:227-291
   load_manga_from_annotation test_BE_manga.py:293-371
@@ -143,8 +144,12 @@ def paste_result_on_manga(
 ) -> np.ndarray:
     """Paste per-bubble predictions back at page coordinates with occupancy
     dedupe; NoFrame bubbles (label 3) use the dilated coarse/box mask instead
-    of the prediction (test_BE_manga.py:63-158).  Writes and returns the
-    BGR-encoded [edge, class, content] PNG."""
+    of the prediction (test_BE_manga.py:63-158).  The reference stacks
+    [edge, class, content] and writes through cv2 (BGR), so the file on disk
+    has content in RED and edge in BLUE — we stack [content, class, edge] and
+    save through PIL (RGB) to produce the identical file, which is what
+    load_manga_from_mask's red-channel read expects.  Returns the file-RGB
+    array."""
     img = np.asarray(Image.open(img_path).convert("RGB"))
     h, w = img.shape[:2]
     pred_masks = (pred_masks[..., 0] >= 0.5).astype(np.float32)
@@ -187,12 +192,12 @@ def paste_result_on_manga(
         mb = mb & ~check
         total = me | mb
         check |= total
-        bgr = np.stack([
-            me.astype(np.uint8) * 255,
-            total.astype(np.uint8) * int(labels[i]),
+        rgb = np.stack([
             mb.astype(np.uint8) * 255,
+            total.astype(np.uint8) * int(labels[i]),
+            me.astype(np.uint8) * 255,
         ], axis=-1)
-        result = result + bgr
+        result = result + rgb
     result[~check] = 255
     makedirs(result_path)
     Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"))
@@ -211,7 +216,8 @@ def paste_edge_result_on_manga(
     :373-412): the EDGE comes from the prediction but the CONTENT region is
     the provided coarse connected-component mask (full-page coordinates);
     NoFrame bubbles (label 3) use the dilated coarse mask for both.  Same
-    occupancy dedupe and BGR [edge, class, content] encoding."""
+    occupancy dedupe and on-disk channel contract (file-RGB = content, class,
+    edge — see paste_result_on_manga)."""
     img = Image.open(img_path)
     w, h = img.size
     pred_edges = (pred_edges[..., 0] >= 0.5).astype(np.float32)
@@ -242,9 +248,9 @@ def paste_edge_result_on_manga(
         total = me | mb
         check |= total
         result = result + np.stack([
-            me.astype(np.uint8) * 255,
-            total.astype(np.uint8) * int(labels[i]),
             mb.astype(np.uint8) * 255,
+            total.astype(np.uint8) * int(labels[i]),
+            me.astype(np.uint8) * 255,
         ], axis=-1)
     result[~check] = 255
     makedirs(result_path)

@@ -80,7 +80,7 @@ class StyleUp(nn.Module):
         y = ConvTransposeBlock(self.features, 4, stride=2, padding=1,
                                output_padding=0, name="up")(x)
         y = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                         use_scale=False, name="in")(y)
+                         use_scale=False, name="in")(y).astype(y.dtype)
         y = nn.relu(y)
         y = jnp.concatenate([y, skip], axis=-1)
         y = ConvBlock(self.features, 3, name="cat")(y, train=train)

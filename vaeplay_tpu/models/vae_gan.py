@@ -32,10 +32,17 @@ from vaeplay_tpu.core.layers import ConvTransposeBlock
 _BN_MOMENTUM = 0.1
 
 
-def _bn(train: bool, name: str) -> nn.BatchNorm:
-    return nn.BatchNorm(
+def _bn(train: bool, name: str):
+    """BatchNorm that preserves the incoming activation dtype.
+
+    flax BatchNorm normalizes in (at least) f32 and returns f32, which would
+    silently upcast everything downstream of the first BN under the bf16
+    mixed-precision policy; casting the output back keeps the compute chain
+    in bf16 while the statistics math stays f32 (utils/amp.py)."""
+    bn = nn.BatchNorm(
         use_running_average=not train, momentum=_BN_MOMENTUM, epsilon=1e-5, name=name
     )
+    return lambda x: bn(x).astype(x.dtype)
 
 
 class EncoderBlock(nn.Module):

@@ -149,7 +149,8 @@ _pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 _RING = {"mesh": None, "axis": "model", "min_n": 1024}
 
 
-def configure_ring_attention(mesh=None, axis: str = "model", min_n: int = 1024):
+def configure_ring_attention(mesh=None, axis: str = "model", min_n: int = 1024,
+                             clear_caches: bool = True):
     """Route self-attention through the ring (context-parallel) kernel.
 
     When `mesh` has >= 2 devices on `axis` and a position axis N >= min_n that
@@ -158,9 +159,19 @@ def configure_ring_attention(mesh=None, axis: str = "model", min_n: int = 1024):
     towers, BCP's point path, BC's refine stack) shards its N axis over the
     mesh: K/V slices rotate via lax.ppermute while each device accumulates
     online-softmax state (SURVEY.md §2.3 SP/CP row).  Call with mesh=None to
-    disable.  Returns the previous configuration for save/restore."""
+    disable.  Returns the previous configuration for save/restore.
+
+    The routing is consulted at TRACE time, so programs jit-compiled BEFORE a
+    reconfiguration would silently keep their old routing.  To keep semantics
+    honest, changing the configuration drops jax's compilation caches
+    (jax.clear_caches) so every step function retraces under the new routing.
+    Pass clear_caches=False only when you know no affected program has been
+    compiled yet (the CLIs configure before the first trace)."""
     prev = dict(_RING)
+    changed = (prev["mesh"], prev["axis"], prev["min_n"]) != (mesh, axis, min_n)
     _RING.update(mesh=mesh, axis=axis, min_n=min_n)
+    if changed and clear_caches:
+        jax.clear_caches()
     return prev
 
 

@@ -29,7 +29,7 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
     of the (independently controlled) refine-FC dtype; master params / Adam
     moments / BN stats / losses stay f32 (utils/amp.py policy).
     """
-    from vaeplay_tpu.utils.amp import to_compute, to_f32
+    from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
 
     def loss_fn(params, batch_stats, constants, imgs, contours, bimgs, eimgs,
                 tgt_pts, tgt_mask, key_pts, key_mask):
@@ -53,7 +53,9 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
         )
         total = loss_edge + loss_mask + loss_regress
         return total, ({"loss_edge": loss_edge, "loss_mask": loss_mask,
-                        "loss_regress": loss_regress}, mut["batch_stats"])
+                        "loss_regress": loss_regress},
+                       merge_batch_stats(batch_stats, mut["batch_stats"],
+                                         compute_dtype))
 
     if external_contours:
         @jax.jit
@@ -113,3 +115,50 @@ def unpack_mask_bits(packed, width: int):
 
     bits = np.unpackbits(np.asarray(packed), axis=-1)
     return bits[:, :, :width].astype(np.float32)
+
+
+def strided_mask_width(img_size: int, stride: int) -> int:
+    """Row width of the stage-A bridge mask: the model pads the mask by 1 on
+    each side before tracing (networks_BC.py:217-219 `padding`), and stride
+    subsampling takes every stride-th column — ceil((img_size + 2) / stride).
+    Single source of truth for the bridge's bit-pack/unpack contract."""
+    return -(-(img_size + 2) // stride)
+
+
+class BridgeTracer:
+    """Host side of the BC external-contour bridge.
+
+    Owns the single worker thread that performs the blocking device→host sync
+    (np.asarray on the bit-packed stage-A mask) and the native contour trace,
+    so the caller's main thread never stalls on the tunnel's sync latency —
+    stage A of batch i syncs/traces while batch i-1's train program runs on
+    the device.  Returned points are rescaled back to full-resolution image
+    coordinates when stride > 1.
+    """
+
+    def __init__(self, img_size: int, stride: int, max_points: int,
+                 threshold: float = 0.5):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.stride = max(stride, 1)
+        self.max_points = max_points
+        self.threshold = threshold
+        self.mask_w = strided_mask_width(img_size, self.stride)
+        self._pool = ThreadPoolExecutor(1)
+
+    def trace(self, packed):
+        """Blocking unpack + contour trace → (pts, counts) numpy arrays."""
+        import numpy as np
+
+        from vaeplay_tpu.ops.contour import batch_find_contours
+
+        masks = unpack_mask_bits(packed, self.mask_w)
+        pts, counts = batch_find_contours(
+            masks, max_points=self.max_points, threshold=self.threshold)
+        if self.stride > 1:
+            pts = pts * np.float32(self.stride)
+        return pts, counts
+
+    def submit(self, packed):
+        """Run trace() on the worker thread; returns a Future."""
+        return self._pool.submit(self.trace, packed)

@@ -20,7 +20,7 @@ def make_be_train_step(model, compute_dtype=None):
     compute_dtype=bfloat16 runs forward/backward FLOPs in bf16, keeping
     master params / Adam state / BN stats / losses f32 (utils/amp.py).
     """
-    from vaeplay_tpu.utils.amp import to_compute, to_f32
+    from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
 
     def loss_fn(params, batch_stats, constants, imgs, bimgs, eimgs):
         variables = {"params": to_compute(params, compute_dtype),
@@ -36,7 +36,8 @@ def make_be_train_step(model, compute_dtype=None):
         loss_mask = L.mask_edge_losses(preds["masks"], bimgs)
         total = loss_edge + loss_mask
         return total, ({"loss_edge": loss_edge, "loss_mask": loss_mask},
-                       to_f32(mut["batch_stats"]))
+                       merge_batch_stats(batch_stats, mut["batch_stats"],
+                                         compute_dtype))
 
     @jax.jit
     def train_step(state: TrainState, imgs, bimgs, eimgs):

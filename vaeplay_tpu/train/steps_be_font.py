@@ -53,7 +53,10 @@ def create_font_state(g_model, d_model, gv, dv, lr: float) -> FontState:
 def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
     """compute_dtype=bfloat16 runs all three phases' FLOPs in bf16 with f32
     master params / Adam state / BN stats / losses (utils/amp.py policy)."""
-    from vaeplay_tpu.utils.amp import to_compute, to_f32
+    from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
+
+    def merge_bs(master, mutated):
+        return merge_batch_stats(master, mutated, compute_dtype)
 
     s_tx = style_only_tx(lr)
 
@@ -84,7 +87,7 @@ def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
 
         # ---- D phase
         preds, mutg = g_apply(g.params, g.batch_stats, imgs, y_map)
-        g = g.replace(batch_stats=mutg["batch_stats"])
+        g = g.replace(batch_stats=merge_bs(g.batch_stats, mutg["batch_stats"]))
         fake_merge = jax.lax.stop_gradient(
             jnp.concatenate([preds["masks"], preds["edges"]], axis=-1))
         real_merge = jnp.concatenate([masks, edges], axis=-1)
@@ -101,7 +104,8 @@ def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
 
         d_grads, (dm, d_bs) = jax.grad(d_loss_fn, has_aux=True)(
             d.params, d.batch_stats)
-        d = d.apply_gradients(d_grads, new_batch_stats=d_bs)
+        d = d.apply_gradients(d_grads,
+                              new_batch_stats=merge_bs(d.batch_stats, d_bs))
 
         # ---- G phase
         def g_loss_fn(g_params, g_bs, d_bs):
@@ -123,12 +127,13 @@ def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
 
         g_grads, (gm, g_bs2, d_bs2) = jax.grad(g_loss_fn, has_aux=True)(
             g.params, g.batch_stats, d.batch_stats)
-        g = g.apply_gradients(g_grads, new_batch_stats=g_bs2)
-        d = d.replace(batch_stats=d_bs2)
+        g = g.apply_gradients(g_grads,
+                              new_batch_stats=merge_bs(g.batch_stats, g_bs2))
+        d = d.replace(batch_stats=merge_bs(d.batch_stats, d_bs2))
 
         # ---- Style-encoder phase (against the updated G)
         ref_preds, mg3 = g_apply(g.params, g.batch_stats, imgs, y_map)
-        g = g.replace(batch_stats=mg3["batch_stats"])
+        g = g.replace(batch_stats=merge_bs(g.batch_stats, mg3["batch_stats"]))
         ref_masks = jax.lax.stop_gradient(ref_preds["masks"])
         ref_edges = jax.lax.stop_gradient(ref_preds["edges"])
 
@@ -146,7 +151,7 @@ def make_be_font_train_step(g_model, d_model, lr: float, compute_dtype=None):
             g.params, g.batch_stats)
         updates, new_s_state = s_tx.update(s_grads, fs.style_opt_state, g.params)
         g = g.replace(params=optax.apply_updates(g.params, updates),
-                      batch_stats=g_bs3)
+                      batch_stats=merge_bs(g.batch_stats, g_bs3))
 
         return FontState(g=g, style_opt_state=new_s_state, d=d), {
             **dm, **gm, **sm}

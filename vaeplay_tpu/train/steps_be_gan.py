@@ -45,7 +45,10 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
     master params / Adam state / BN stats / loss reductions stay f32
     (utils/amp.py policy).
     """
-    from vaeplay_tpu.utils.amp import to_compute, to_f32
+    from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
+
+    def merge_bs(master, mutated):
+        return merge_batch_stats(master, mutated, compute_dtype)
 
     def g_apply(params, batch_stats, constants, imgs):
         variables = {"params": to_compute(params, compute_dtype),
@@ -70,7 +73,7 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
         g, d = gs.g, gs.d
         # G forward without gradients (BN stats advance, train_BE_GAN.py:131-134)
         preds, mutg = g_apply(g.params, g.batch_stats, g.constants, imgs)
-        g = g.replace(batch_stats=mutg["batch_stats"])
+        g = g.replace(batch_stats=merge_bs(g.batch_stats, mutg["batch_stats"]))
         pred_masks = jax.nn.sigmoid(jax.lax.stop_gradient(preds["masks"]))
         pred_edges = jax.nn.sigmoid(jax.lax.stop_gradient(preds["edges"]))
 
@@ -86,7 +89,8 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
         d_grads, ((d_adv, d_type), d_bs) = jax.grad(d_loss_fn, has_aux=True)(
             d.params, d.batch_stats
         )
-        d = d.apply_gradients(d_grads, new_batch_stats=d_bs)
+        d = d.apply_gradients(d_grads,
+                              new_batch_stats=merge_bs(d.batch_stats, d_bs))
         return GanState(g=g, d=d), {"d_adv_loss": d_adv, "d_type_loss": d_type}
 
     @jax.jit
@@ -118,8 +122,9 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
         g_grads, (gm, g_bs2, d_bs2) = jax.grad(g_loss_fn, has_aux=True)(
             g.params, g.batch_stats, d.batch_stats
         )
-        g = g.apply_gradients(g_grads, new_batch_stats=g_bs2)
-        d = d.replace(batch_stats=d_bs2)
+        g = g.apply_gradients(g_grads,
+                              new_batch_stats=merge_bs(g.batch_stats, g_bs2))
+        d = d.replace(batch_stats=merge_bs(d.batch_stats, d_bs2))
         return GanState(g=g, d=d), gm
 
     if not split:

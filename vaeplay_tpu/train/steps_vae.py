@@ -68,7 +68,7 @@ def make_train_step(model, compute_dtype=None, remat: bool = False):
     backward recomputes activations instead of storing them — the memory/
     FLOPs trade for HBM headroom at larger per-chip batches.  Numerics are
     identical (tests/test_vae_gan.py::test_remat_step_matches_plain)."""
-    from vaeplay_tpu.utils.amp import to_compute, to_f32
+    from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
 
     def fwd(params, batch_stats, imgs, rng):
         return model.apply(
@@ -93,7 +93,8 @@ def make_train_step(model, compute_dtype=None, remat: bool = False):
             + m["loss_discriminator"]
             + m["loss_aux"]
         )
-        return total, (m, to_f32(mut["batch_stats"]))
+        return total, (m, merge_batch_stats(batch_stats, mut["batch_stats"],
+                                            compute_dtype))
 
     @jax.jit
     def train_step(state: TrainState, imgs, targets, rng):

@@ -38,6 +38,34 @@ def to_f32(tree: Any) -> Any:
     return cast_floating(tree, jnp.float32)
 
 
+def merge_batch_stats(master: Any, mutated: Any, compute_dtype) -> Any:
+    """Fold a bf16-computed batch-stats EMA update onto the f32 master copy.
+
+    Under mixed precision the forward normalizes with bf16 stats, so flax's
+    in-module EMA update produces bf16-derived values.  Storing those directly
+    would re-quantize the running statistics to bf16 every step, destroying
+    EMA increments below the bf16 ulp (~0.4% relative) and preventing the
+    stats from settling.  Instead accumulate the *delta* onto the f32 master:
+
+        new_master = master + (mutated - cast(master, bf16))   # all f32
+
+    The delta is computed from bf16 quantities (unavoidable — that is what
+    the forward saw) but the accumulation itself never re-quantizes the
+    master, which is the classic f32-master-weight trick applied to BN stats.
+    Identity when compute_dtype is f32/None (mutated is already exact).
+    """
+    if compute_dtype is None or compute_dtype == jnp.float32:
+        return mutated
+
+    def one(m, mu):
+        if not (hasattr(m, "dtype") and jnp.issubdtype(m.dtype, jnp.floating)):
+            return mu
+        delta = mu.astype(jnp.float32) - m.astype(compute_dtype).astype(jnp.float32)
+        return (m.astype(jnp.float32) + delta).astype(jnp.float32)
+
+    return jax.tree_util.tree_map(one, master, mutated)
+
+
 def resolve_dtype(name) -> Any:
     """CLI --dtype string → jnp dtype (accepts f32/bf16 shorthands)."""
     if name in (None, "f32", "float32"):
