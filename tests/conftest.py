@@ -9,9 +9,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU kills the process when a collective rendezvous waits > 40 s
+    # (rendezvous.cc "Termination timeout ... Exiting to ensure a consistent
+    # program state").  On a 1-core box the 8 virtual devices' programs are
+    # time-sliced on one core, so a heavy SPMD step can easily keep one
+    # participant away from the rendezvous for minutes — a liveness artifact
+    # of the test topology, not a hang.  Raise the limit far above any real
+    # per-program runtime.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1800").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -26,3 +34,16 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("needs 8 virtual devices")
     return devs
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables_between_modules():
+    """Jitted functions are not reused across test modules, so dropping the
+    compilation caches at module boundaries bounds the runtime's live
+    executable/memory footprint over the session at no recompile cost.
+    (The hard `Fatal Python error: Aborted` once seen deep into the suite was
+    the XLA:CPU collective rendezvous termination timeout — see the
+    XLA_FLAGS block above — not executable accumulation, but keeping the
+    footprint bounded is still cheap hygiene.)"""
+    yield
+    jax.clear_caches()
