@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vaeplay_tpu.ops.image import avg_pool, grid_sample, max_pool, resize_bilinear
+from vaeplay_tpu.ops.image import (
+    avg_pool, grid_sample, max_pool, point_sample_ng, resize_bilinear)
 from vaeplay_tpu.ops.warp import affine_warp, random_joint_rot_flip, rotation_inv_matrix
 
 torch = pytest.importorskip("torch")
@@ -81,3 +82,40 @@ def test_joint_rot_flip_preserves_correspondence():
     np.testing.assert_allclose(np.asarray(out_img)[..., 0], np.asarray(out_m)[..., 0],
                                atol=1e-6)
     assert float(jnp.sum(out_m)) > 0  # the blob survived the warp
+
+
+@pytest.mark.parametrize("mode,align", [("bilinear", False), ("bicubic", True),
+                                        ("bilinear", True), ("bicubic", False)])
+def test_point_sample_ng_matches_grid_sample(mode, align):
+    """Forward is bit-identical to grid_sample; grad wrt the feature map from
+    the dense matmul backward matches the gather op's scatter-add autodiff
+    (including out-of-bounds points, which read/backprop zeros)."""
+    rng = np.random.default_rng(7)
+    feat = jnp.asarray(rng.normal(size=(3, 9, 11, 5)).astype(np.float32))
+    grid = jnp.asarray(
+        rng.uniform(-1.4, 1.4, size=(3, 17, 2)).astype(np.float32))  # some OOB
+    cot = jnp.asarray(rng.normal(size=(3, 17, 5)).astype(np.float32))
+
+    out_ref = grid_sample(feat, grid, align_corners=align, mode=mode)
+    out_new = point_sample_ng(feat, grid, align, mode)
+    np.testing.assert_array_equal(np.asarray(out_new), np.asarray(out_ref))
+
+    g_ref = jax.grad(
+        lambda f: jnp.sum(grid_sample(f, grid, align_corners=align, mode=mode) * cot)
+    )(feat)
+    g_new = jax.grad(
+        lambda f: jnp.sum(point_sample_ng(f, grid, align, mode) * cot)
+    )(feat)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_point_sample_ng_grid_cotangent_is_zero():
+    """The grid is declared non-differentiable (all call sites detach it)."""
+    rng = np.random.default_rng(8)
+    feat = jnp.asarray(rng.normal(size=(2, 6, 6, 3)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, size=(2, 5, 2)).astype(np.float32))
+    g = jax.grad(
+        lambda gr: jnp.sum(point_sample_ng(feat, gr, False, "bilinear") ** 2)
+    )(grid)
+    np.testing.assert_array_equal(np.asarray(g), np.zeros_like(np.asarray(g)))

@@ -20,15 +20,22 @@ from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
 
 
 def timeit(fn, args, warmup=2, iters=10):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    """Fetch-synced chained timing — under axon, block_until_ready returns at
+    enqueue time, not execution time; only a data fetch forces the chain
+    (tools/bench_util.py).  Used for the BC external bridge, whose per-step
+    host contour hop is part of the workload."""
+    from tools.bench_util import timed_chain
+
+    return timed_chain(lambda: fn(*args), iters=iters, warmup=warmup)
+
+
+def timeit_scan(step, state, args, iters):
+    """Per-step device time via lax.scan(step, K) in one program — amortizes
+    the tunnel's ~8-40 ms per-program latency out of the measurement
+    (tools/bench_util.timed_scan)."""
+    from tools.bench_util import timed_scan
+
+    return timed_scan(step, state, args, iters=iters)
 
 
 def bench_vae():
@@ -48,13 +55,7 @@ def bench_vae():
     state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
     step = make_circle_train_step(model, IMG)
     pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
-    holder = {"s": state}
-
-    def run(pb, rng):
-        holder["s"], m = step(holder["s"], pb, rng)
-        return m
-
-    dt = timeit(run, (pb, jax.random.PRNGKey(2)))
+    dt = timeit_scan(step, state, (pb, jax.random.PRNGKey(2)), iters=50)
     return f"VAE-GAN 256px bs{BS}", dt, BS
 
 
@@ -75,13 +76,7 @@ def bench_vae_bf16():
     state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
     step = make_circle_train_step(model, IMG, compute_dtype=jnp.bfloat16)
     pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
-    holder = {"s": state}
-
-    def run(pb, rng):
-        holder["s"], m = step(holder["s"], pb, rng)
-        return m
-
-    dt = timeit(run, (pb, jax.random.PRNGKey(2)))
+    dt = timeit_scan(step, state, (pb, jax.random.PRNGKey(2)), iters=50)
     return f"VAE-GAN 256px bs{BS} [--dtype bf16]", dt, BS
 
 
@@ -101,13 +96,7 @@ def bench_be():
     step = make_be_train_step(model)
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]), jnp.asarray(b["eimgs"]))
-    holder = {"s": state}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, state, args, iters=10)
     return f"BE 512px bs{BS} (reference default)", dt, BS
 
 
@@ -134,13 +123,7 @@ def bench_be_gan():
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]),
             jnp.asarray(b["eimgs"]), jnp.asarray(b["labels"]))
-    holder = {"s": gs}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, gs, args, iters=10)
     return f"BE_GAN 512px bs{BS} (reference default)", dt, BS
 
 
@@ -158,13 +141,7 @@ def bench_bp():
     step = make_bp_train_step(model)
     imgs, p1, p2 = SyntheticEmitDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(imgs), jnp.asarray(p1), jnp.asarray(p2))
-    holder = {"s": state}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, state, args, iters=20)
     return f"BP 512px bs{BS} 720pts (reference default)", dt, BS
 
 
@@ -245,13 +222,7 @@ def bench_bcp():
     b = SyntheticBCPDataset(img_size=IMG, max_points=P).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["labels"]),
             jnp.asarray(b["points"]), jnp.asarray(b["pmask"]))
-    holder = {"s": gs}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, gs, args, iters=20)
     return f"BCP 512px bs{BS} {P}pts (reference default)", dt, BS
 
 
@@ -275,13 +246,7 @@ def bench_be_font():
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["masks"]),
             jnp.asarray(b["edges"]), jnp.asarray(b["labels"]),
             jnp.asarray(b["styles"]))
-    holder = {"s": fs}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, fs, args, iters=50)
     return f"BE_font 64px bs{BS} (reference default)", dt, BS
 
 
@@ -310,13 +275,7 @@ def bench_style_gan():
     args = (jnp.asarray(b["imgs"]),
             jnp.asarray(np.repeat(b["bimgs"], 3, axis=-1)),
             jnp.asarray(b["labels"] % 2), jax.random.PRNGKey(3))
-    holder = {"s": ss}
-
-    def run(*a):
-        holder["s"], m = step(holder["s"], *a)
-        return m
-
-    dt = timeit(run, args, warmup=2, iters=5)
+    dt = timeit_scan(step, ss, args, iters=20)
     return f"Style_GAN 256px z512 bs{BS} (half reference batch)", dt, BS
 
 

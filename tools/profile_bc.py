@@ -91,14 +91,20 @@ def build(model, which):
 
 
 def timeit(fn, state, args, warmup=2, iters=8):
+    """Fetch-synced timing: under axon, block_until_ready returns at enqueue
+    time — only fetching real data forces execution (tools/bench_util.py)."""
+
+    def _force(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
     holder = state
     for _ in range(warmup):
         holder, out = fn(holder, *args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         holder, out = fn(holder, *args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

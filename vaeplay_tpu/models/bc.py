@@ -34,7 +34,7 @@ from flax import linen as nn
 from vaeplay_tpu.core.layers import ConvBlock, SelfAttentionBlock, add_coords, upsample2x_bilinear
 from vaeplay_tpu.models.backbone import ResNetFPN
 from vaeplay_tpu.ops.contour import batch_find_contours
-from vaeplay_tpu.ops.image import grid_sample
+from vaeplay_tpu.ops.image import point_sample_ng
 
 DEFAULT_MAX_POINTS = 256
 
@@ -192,7 +192,10 @@ def resample_feature_batched(
     gx = (pts[..., 0] - w_half) / w_half
     gy = (pts[..., 1] - h_half) / h_half
     grid = jnp.stack([gx, gy], axis=-1)
-    sampled = grid_sample(feature, grid, align_corners=True, mode="bicubic")
+    # point_sample_ng: identical bicubic gather forward, but the backward
+    # builds grad_feature with dense matmuls instead of 16 scatter-adds (the
+    # contour grid is non-differentiable — host-traced, networks_BC.py:29).
+    sampled = point_sample_ng(feature, grid, True, "bicubic")
     valid = (jnp.arange(pts.shape[1])[None, :] < counts[:, None])
     return sampled * valid[..., None].astype(sampled.dtype)
 

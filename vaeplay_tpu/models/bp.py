@@ -32,7 +32,7 @@ from flax import linen as nn
 
 from vaeplay_tpu.core.layers import ConvBlock, DenseBlock, SelfAttentionBlock
 from vaeplay_tpu.ops.geometry import sample_points_ellipse
-from vaeplay_tpu.ops.image import grid_sample
+from vaeplay_tpu.ops.image import point_sample_ng
 
 SAMPLE_SCALE = 2
 SAMPLE_COUNT = int(360 * SAMPLE_SCALE)
@@ -164,7 +164,9 @@ class EmitLinePredictor(nn.Module):
         sample_pts = sample_points_ellipse(params, SAMPLE_COUNT, SAMPLE_SCALE)
         # ONE batched bilinear gather at normalized [-1,1] ellipse coords
         # (replaces the per-image grid_sample loop, networks_BP.py:202-227)
-        feat_pts = grid_sample(x, sample_pts[..., :2], align_corners=False)
+        # scatter-free backward; the ellipse-point grid is detached
+        # (networks_BP.py:256), so its zero cotangent is exact
+        feat_pts = point_sample_ng(x, sample_pts[..., :2], False, "bilinear")
         if_triggers, line_params = EmitLineParamPredictor(
             self.channels[-1][0], name="param_predictor"
         )(feat_pts, sample_pts, params, train=train)

@@ -40,6 +40,18 @@ def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
     return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
 
 
+def _unnormalize_grid(grid: jnp.ndarray, h: int, w: int, align_corners: bool):
+    """[-1, 1] grid coords → fractional pixel coords (torch convention)."""
+    x, y = grid[..., 0], grid[..., 1]
+    if align_corners:
+        fx = (x + 1.0) * 0.5 * (w - 1)
+        fy = (y + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((x + 1.0) * w - 1.0) * 0.5
+        fy = ((y + 1.0) * h - 1.0) * 0.5
+    return fx, fy
+
+
 def grid_sample(
     feat: jnp.ndarray,   # (B, H, W, C)
     grid: jnp.ndarray,   # (B, N, 2) normalized coords in [-1, 1], (x, y) order
@@ -51,13 +63,7 @@ def grid_sample(
     (B, 1, N, 2)-style grid, returning (B, N, C).  mode ∈ {bilinear, bicubic};
     out-of-range samples read zeros (padding_mode='zeros')."""
     b, h, w, c = feat.shape
-    x, y = grid[..., 0], grid[..., 1]
-    if align_corners:
-        fx = (x + 1.0) * 0.5 * (w - 1)
-        fy = (y + 1.0) * 0.5 * (h - 1)
-    else:
-        fx = ((x + 1.0) * w - 1.0) * 0.5
-        fy = ((y + 1.0) * h - 1.0) * 0.5
+    fx, fy = _unnormalize_grid(grid, h, w, align_corners)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -94,6 +100,77 @@ def grid_sample(
             out = out + row * ky[j][..., None]
         return out
     raise ValueError(f"unknown grid_sample mode {mode!r}")
+
+
+def _axis_taps(frac: jnp.ndarray, mode: str):
+    """Per-axis interpolation tap weights and the integer offset of tap 0
+    relative to floor(coord): bilinear = 2 taps at offsets {0, 1}, bicubic =
+    4 taps at offsets {-1, 0, 1, 2}."""
+    if mode == "bicubic":
+        return _cubic_weights(frac), -1
+    return [1.0 - frac, frac], 0
+
+
+def _dense_axis_weights(idx0, taps, base: int, size: int):
+    """Dense (B, N, size) interpolation-weight matrix for one axis: row p
+    holds each tap's weight at its integer target index, zero elsewhere and
+    for out-of-bounds taps (= grid_sample's padding_mode='zeros')."""
+    cols = jnp.arange(size, dtype=idx0.dtype)
+    out = None
+    for j, wgt in enumerate(taps):
+        tgt = idx0 + (j + base)
+        inb = (tgt >= 0) & (tgt <= size - 1)
+        term = jnp.where(inb, wgt, 0.0)[..., None] * (cols == tgt[..., None])
+        out = term if out is None else out + term
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def point_sample_ng(feat, grid, align_corners=False, mode="bilinear"):
+    """`grid_sample` with a NON-DIFFERENTIABLE grid and a scatter-free
+    backward pass.
+
+    The autodiff backward of the gather-based `grid_sample` is taps x
+    scatter-adds into the (B, H, W, C) feature map — slow on TPU (serialized
+    scatter).  Every model that samples point features does so at detached
+    coordinates (BC: host-traced contours, networks_BC.py:29 detaches; BP:
+    stage-2 sees detached ellipse params, networks_BP.py:256), so this op
+    declares the grid non-differentiable (zero cotangent) and computes
+    grad_feat densely:
+
+        grad_feat[b,h,w,c] = sum_n Wy[b,n,h] * Wx[b,n,w] * g[b,n,c]
+
+    where Wy/Wx are the (B, N, size) dense per-axis interpolation-weight
+    matrices — one broadcast multiply + one MXU contraction over the point
+    axis instead of a scatter.  Worth it when N*H*W is small relative to the
+    scatter cost (BC: 256 pts x 130^2 map); for large N x H x W (BCP's 2048
+    pts x 128^2) prefer plain `grid_sample`.
+
+    Forward is exactly `grid_sample(feat, grid, align_corners, True, mode)`.
+    """
+    return grid_sample(feat, grid, align_corners=align_corners, mode=mode)
+
+
+def _point_sample_ng_fwd(feat, grid, align_corners, mode):
+    out = grid_sample(feat, grid, align_corners=align_corners, mode=mode)
+    b, h, w, c = feat.shape
+    fx, fy = _unnormalize_grid(grid.astype(jnp.float32), h, w, align_corners)
+    kx, base = _axis_taps(fx - jnp.floor(fx), mode)
+    ky, _ = _axis_taps(fy - jnp.floor(fy), mode)
+    wx = _dense_axis_weights(jnp.floor(fx), kx, base, w)
+    wy = _dense_axis_weights(jnp.floor(fy), ky, base, h)
+    return out, (wy, wx, jnp.zeros_like(grid))
+
+
+def _point_sample_ng_bwd(align_corners, mode, res, g):
+    wy, wx, grid_zeros = res
+    # (B, N, H, W) separable weight volume; contracted over N on the MXU.
+    vol = (wy[:, :, :, None] * wx[:, :, None, :]).astype(g.dtype)
+    grad_feat = jnp.einsum("bnhw,bnc->bhwc", vol, g)
+    return grad_feat, grid_zeros
+
+
+point_sample_ng.defvjp(_point_sample_ng_fwd, _point_sample_ng_bwd)
 
 
 def avg_pool(x: jnp.ndarray, window: int, stride: int = None) -> jnp.ndarray:
