@@ -33,10 +33,16 @@ from vaeplay_tpu.utils.jitting import jit_init
 BASELINE_CPU_IPS = 0.079
 
 IMG_SIZE = 256
-# bs128 saturates one v5e chip (52k img/s vs 11k at bs16); bs256 exceeds HBM
-# at f32 without remat.
+# bs128 saturates the chip; bs256 exceeds HBM at f32 without --remat.
 BATCH = 128
-STEPS = 50  # one scanned program; large K amortizes the ~40ms program cost
+STEPS = 50  # one scanned program; large K amortizes the ~8-40ms program cost
+# bf16 mixed precision (bf16 FLOPs, f32 master params / optimizer / BN stats /
+# loss accumulation — utils/amp.py) is the production mode on TPU and is
+# parity-gated by tests/test_bf16.py.  The step is compute-bound: XLA's own
+# cost_analysis reports 40.3 TFLOP/step, so the measured ~359 ms/step runs at
+# ~84% of the chip's measured 134 TFLOP/s bf16 roofline (tools/roofline.py,
+# tools/step_cost.py); f32 measures ~453 ms (~282 img/s).
+COMPUTE_DTYPE = jnp.bfloat16
 
 
 def main():
@@ -53,7 +59,7 @@ def main():
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx
     )
-    step = make_circle_train_step(model, IMG_SIZE)
+    step = make_circle_train_step(model, IMG_SIZE, compute_dtype=COMPUTE_DTYPE)
 
     ds = CircleDataset(n=IMG_SIZE, min_radius=10, data_size=BATCH * STEPS, seed=0)
     batches = jnp.asarray(np.stack(list(ds.epoch_batches(BATCH))))  # (STEPS, BS, 3)
@@ -86,7 +92,8 @@ def main():
 
     ips = STEPS * BATCH / dt
     print(json.dumps({
-        "metric": f"images/sec/chip (VAE-GAN fused train step, 256px, bs{BATCH})",
+        "metric": (f"images/sec/chip (VAE-GAN fused train step, 256px, "
+                   f"bs{BATCH}, bf16 mixed precision)"),
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_CPU_IPS, 1),

@@ -110,6 +110,22 @@ def test_point_sample_ng_matches_grid_sample(mode, align):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_point_sample_ng_bwd_keeps_primal_dtype():
+    """Under bf16 amp the feature map and the incoming cotangent can have
+    different dtypes; the returned grad must carry the PRIMAL feature dtype
+    (JAX asserts this — caught live in the BC bf16 train step)."""
+    from vaeplay_tpu.ops.image import _point_sample_ng_bwd, _point_sample_ng_fwd
+
+    rng = np.random.default_rng(9)
+    feat = jnp.asarray(rng.normal(size=(2, 6, 6, 3)), dtype=jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-0.9, 0.9, size=(2, 5, 2)).astype(np.float32))
+    out, res = _point_sample_ng_fwd(feat, grid, False, "bilinear")
+    g32 = jnp.ones(out.shape, jnp.float32)          # f32 cotangent, bf16 primal
+    grad_feat, grad_grid = _point_sample_ng_bwd(False, "bilinear", res, g32)
+    assert grad_feat.dtype == feat.dtype
+    assert grad_grid.dtype == grid.dtype
+
+
 def test_point_sample_ng_grid_cotangent_is_zero():
     """The grid is declared non-differentiable (all call sites detach it)."""
     rng = np.random.default_rng(8)

@@ -6,9 +6,9 @@ config would be slow to compile repeatedly; the flagship 256px VAE-GAN is
 covered at full scale by bench.py.
 """
 
+import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,7 +38,11 @@ def timeit_scan(step, state, args, iters):
     return timed_scan(step, state, args, iters=iters)
 
 
-def bench_vae():
+def _tag(compute_dtype) -> str:
+    return " [--dtype bf16]" if compute_dtype == jnp.bfloat16 else ""
+
+
+def build_vae(compute_dtype=None):
     from vaeplay_tpu.data.circles import CircleDataset
     from vaeplay_tpu.models.vae_gan import VaeGan
     from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
@@ -53,34 +57,13 @@ def bench_vae():
                             ("encoder", "decoder", "discriminator", "param_encoder")},
                            v["params"])
     state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
-    step = make_circle_train_step(model, IMG)
+    step = make_circle_train_step(model, IMG, compute_dtype=compute_dtype)
     pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
-    dt = timeit_scan(step, state, (pb, jax.random.PRNGKey(2)), iters=50)
-    return f"VAE-GAN 256px bs{BS}", dt, BS
+    return (f"VAE-GAN 256px bs{BS}{_tag(compute_dtype)}", step, state,
+            (pb, jax.random.PRNGKey(2)), 50, BS)
 
 
-def bench_vae_bf16():
-    from vaeplay_tpu.data.circles import CircleDataset
-    from vaeplay_tpu.models.vae_gan import VaeGan
-    from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
-    from vaeplay_tpu.train.steps_vae import make_circle_train_step
-
-    IMG, BS = 256, 128
-    model = VaeGan(img_size=IMG, z_size=128)
-    v = jit_init(model, {"params": jax.random.PRNGKey(0),
-                         "noise": jax.random.PRNGKey(1)},
-                 jnp.zeros((2, IMG, IMG, 1)))
-    tx = grouped_transform({k: torch_rmsprop(1e-4) for k in
-                            ("encoder", "decoder", "discriminator", "param_encoder")},
-                           v["params"])
-    state = TrainState.create(model.apply, v["params"], v["batch_stats"], tx)
-    step = make_circle_train_step(model, IMG, compute_dtype=jnp.bfloat16)
-    pb = jnp.asarray(next(CircleDataset(n=IMG, data_size=BS).epoch_batches(BS)))
-    dt = timeit_scan(step, state, (pb, jax.random.PRNGKey(2)), iters=50)
-    return f"VAE-GAN 256px bs{BS} [--dtype bf16]", dt, BS
-
-
-def bench_be():
+def build_be(compute_dtype=None):
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.be import ComposeNet
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
@@ -93,14 +76,14 @@ def bench_be():
     state = TrainState.create(model.apply, v["params"], v["batch_stats"],
                               frozen_backbone_adam(1e-4),
                               constants=v.get("constants"))
-    step = make_be_train_step(model)
+    step = make_be_train_step(model, compute_dtype=compute_dtype)
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]), jnp.asarray(b["eimgs"]))
-    dt = timeit_scan(step, state, args, iters=10)
-    return f"BE 512px bs{BS} (reference default)", dt, BS
+    return (f"BE 512px bs{BS} (reference default){_tag(compute_dtype)}",
+            step, state, args, 10, BS)
 
 
-def bench_be_gan():
+def build_be_gan(compute_dtype=None):
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.be_gan import ComposeNet, Discriminator
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
@@ -119,15 +102,15 @@ def bench_be_gan():
         d=TrainState.create(d_model.apply, dv["params"], dv["batch_stats"],
                             torch_adam(1e-5, (0.5, 0.999))),
     )
-    step = make_be_gan_train_step(g_model, d_model)
+    step = make_be_gan_train_step(g_model, d_model, compute_dtype=compute_dtype)
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["bimgs"]),
             jnp.asarray(b["eimgs"]), jnp.asarray(b["labels"]))
-    dt = timeit_scan(step, gs, args, iters=10)
-    return f"BE_GAN 512px bs{BS} (reference default)", dt, BS
+    return (f"BE_GAN 512px bs{BS} (reference default){_tag(compute_dtype)}",
+            step, gs, args, 10, BS)
 
 
-def bench_bp():
+def build_bp(compute_dtype=None):
     from vaeplay_tpu.data.bp_data import SyntheticEmitDataset
     from vaeplay_tpu.models.bp import ComposeNet
     from vaeplay_tpu.train.state import TrainState, torch_adam
@@ -138,11 +121,11 @@ def bench_bp():
     v = jit_init(model, {"params": jax.random.PRNGKey(0)},
                  jnp.zeros((1, IMG, IMG, 3)))
     state = TrainState.create(model.apply, v["params"], None, torch_adam(1e-3))
-    step = make_bp_train_step(model)
+    step = make_bp_train_step(model, compute_dtype=compute_dtype)
     imgs, p1, p2 = SyntheticEmitDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(imgs), jnp.asarray(p1), jnp.asarray(p2))
-    dt = timeit_scan(step, state, args, iters=20)
-    return f"BP 512px bs{BS} 720pts (reference default)", dt, BS
+    return (f"BP 512px bs{BS} 720pts (reference default){_tag(compute_dtype)}",
+            step, state, args, 20, BS)
 
 
 def bench_bc():
@@ -199,7 +182,7 @@ def bench_bc():
     return f"BC 256px bs{BS} {MP}pts (reference config){tag}", dt, BS
 
 
-def bench_bcp():
+def build_bcp(compute_dtype=None):
     from vaeplay_tpu.data.bcp_data import SyntheticBCPDataset
     from vaeplay_tpu.models.bcp import ComposeNet, Discriminator
     from vaeplay_tpu.train.state import TrainState, torch_adam
@@ -218,15 +201,15 @@ def bench_bcp():
         g=TrainState.create(g_model.apply, gv["params"], None, torch_adam(1e-3)),
         d=TrainState.create(d_model.apply, dv["params"], None, torch_adam(1e-3)),
     )
-    step = make_bcp_train_step(g_model, d_model)
+    step = make_bcp_train_step(g_model, d_model, compute_dtype=compute_dtype)
     b = SyntheticBCPDataset(img_size=IMG, max_points=P).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["labels"]),
             jnp.asarray(b["points"]), jnp.asarray(b["pmask"]))
-    dt = timeit_scan(step, gs, args, iters=20)
-    return f"BCP 512px bs{BS} {P}pts (reference default)", dt, BS
+    return (f"BCP 512px bs{BS} {P}pts (reference default){_tag(compute_dtype)}",
+            step, gs, args, 20, BS)
 
 
-def bench_be_font():
+def build_be_font(compute_dtype=None):
     from vaeplay_tpu.data.font_data import SyntheticGlyphDataset
     from vaeplay_tpu.models.be_font import ComposeNet, Discriminator
     from vaeplay_tpu.train.steps_be_font import create_font_state, make_be_font_train_step
@@ -241,16 +224,17 @@ def bench_be_font():
     dv = jit_init(d_model, {"params": jax.random.PRNGKey(1)},
                   jnp.zeros((1, IMG, IMG, 2)), y)
     fs = create_font_state(g_model, d_model, gv, dv, 1e-4)
-    step = make_be_font_train_step(g_model, d_model, 1e-4)
+    step = make_be_font_train_step(g_model, d_model, 1e-4,
+                                   compute_dtype=compute_dtype)
     b = next(SyntheticGlyphDataset(data_size=BS).batches(BS, IMG))
     args = (jnp.asarray(b["imgs"]), jnp.asarray(b["masks"]),
             jnp.asarray(b["edges"]), jnp.asarray(b["labels"]),
             jnp.asarray(b["styles"]))
-    dt = timeit_scan(step, fs, args, iters=50)
-    return f"BE_font 64px bs{BS} (reference default)", dt, BS
+    return (f"BE_font 64px bs{BS} (reference default){_tag(compute_dtype)}",
+            step, fs, args, 50, BS)
 
 
-def bench_style_gan():
+def build_style_gan(compute_dtype=None):
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
     from vaeplay_tpu.train.state import TrainState, torch_adam
@@ -270,21 +254,49 @@ def bench_style_gan():
         g=TrainState.create(g_model.apply, gv["params"], None, torch_adam(1e-4)),
         d=TrainState.create(d_model.apply, dv["params"], None, torch_adam(1e-4)),
     )
-    step = make_style_gan_train_step(e_model, g_model, d_model, Z)
+    step = make_style_gan_train_step(e_model, g_model, d_model, Z,
+                                     compute_dtype=compute_dtype)
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
     args = (jnp.asarray(b["imgs"]),
             jnp.asarray(np.repeat(b["bimgs"], 3, axis=-1)),
             jnp.asarray(b["labels"] % 2), jax.random.PRNGKey(3))
-    dt = timeit_scan(step, ss, args, iters=20)
-    return f"Style_GAN 256px z512 bs{BS} (half reference batch)", dt, BS
+    return (f"Style_GAN 256px z512 bs{BS} (half reference batch)"
+            f"{_tag(compute_dtype)}", step, ss, args, 20, BS)
 
 
-FAMILIES = {
-    "vae": bench_vae, "vae_bf16": bench_vae_bf16, "be": bench_be,
-    "be_gan": bench_be_gan, "bp": bench_bp,
-    "bc": bench_bc, "bcp": bench_bcp, "be_font": bench_be_font,
-    "style_gan": bench_style_gan,
+def _bench(build):
+    """Time a built (step, state, args) via the scan-amortized harness."""
+    label, step, state, args, iters, bs = build()
+    dt = timeit_scan(step, state, args, iters=iters)
+    return label, dt, bs
+
+
+# Builders return (label, step, state, args, scan_iters, batch) so the same
+# setup feeds both the timing harness here and tools/step_cost.py's XLA
+# cost_analysis (roofline cross-check).  BC is not scan-able (its external
+# contour bridge hops through the host every step) and keeps its own timer.
+_SCAN_FAMILIES = {
+    "vae": build_vae, "be": build_be, "be_gan": build_be_gan, "bp": build_bp,
+    "bcp": build_bcp, "be_font": build_be_font, "style_gan": build_style_gan,
 }
+
+# Every family gets an f32 and a bf16 row (verdict item 9: "record both rows");
+# BC runs bf16-only — its f32 working set exceeds single-chip HBM.
+BUILDERS = {}
+for _name, _b in _SCAN_FAMILIES.items():
+    BUILDERS[_name] = _b
+    BUILDERS[_name + "_bf16"] = functools.partial(_b, jnp.bfloat16)
+
+FAMILIES = {}
+for _name in _SCAN_FAMILIES:
+    FAMILIES[_name] = functools.partial(_bench, BUILDERS[_name])
+    FAMILIES[_name + "_bf16"] = functools.partial(_bench, BUILDERS[_name + "_bf16"])
+FAMILIES["bc"] = bench_bc
+# Row order: f32 then bf16 per family, bc between bp and bcp.
+FAMILIES = {k: FAMILIES[k] for k in
+            ("vae", "vae_bf16", "be", "be_bf16", "be_gan", "be_gan_bf16",
+             "bp", "bp_bf16", "bc", "bcp", "bcp_bf16",
+             "be_font", "be_font_bf16", "style_gan", "style_gan_bf16")}
 
 
 def main():
@@ -324,12 +336,19 @@ def main():
 
     md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "BENCH_FAMILIES.md")
+    notes = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        marker = "<!-- NOTES:"
+        if marker in old:
+            notes = "\n" + old[old.index(marker):]
     with open(md, "w") as f:
         f.write("# Per-family TPU train-step benchmarks (1x v5e chip)\n\n")
         f.write("Full fused train iteration (all phases/optimizers) per family.\n\n")
         f.write("| workload | ms/step | images/sec |\n|---|---|---|\n")
         for label, ms, ips in rows:
             f.write(f"| {label} | {ms:.2f} | {ips:.1f} |\n")
+        f.write(notes)
     print(f"wrote {md}")
 
 

@@ -56,11 +56,15 @@ def timed_scan(step, state, args, iters: int = 100):
     `step` is (state, *args) -> (state, metrics); the same `args` batch is
     reused every iteration (weights still advance through the carry).
     """
+    import functools
+
     def body(s, _):
         s, m = step(s, *args)
         return s, jax.tree_util.tree_leaves(m)[0]
 
-    @jax.jit
+    # Donate the carry: without aliasing, params + optimizer state live twice
+    # in HBM for the duration of the program (OOMs the larger families).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_k(s):
         s, ms = jax.lax.scan(body, s, None, length=iters)
         return s, ms[-1]

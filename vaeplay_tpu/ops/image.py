@@ -159,15 +159,19 @@ def _point_sample_ng_fwd(feat, grid, align_corners, mode):
     ky, _ = _axis_taps(fy - jnp.floor(fy), mode)
     wx = _dense_axis_weights(jnp.floor(fx), kx, base, w)
     wy = _dense_axis_weights(jnp.floor(fy), ky, base, h)
-    return out, (wy, wx, jnp.zeros_like(grid))
+    return out, (wy, wx, jnp.zeros_like(grid), jnp.zeros((), feat.dtype))
 
 
 def _point_sample_ng_bwd(align_corners, mode, res, g):
-    wy, wx, grid_zeros = res
-    # (B, N, H, W) separable weight volume; contracted over N on the MXU.
-    vol = (wy[:, :, :, None] * wx[:, :, None, :]).astype(g.dtype)
-    grad_feat = jnp.einsum("bnhw,bnc->bhwc", vol, g)
-    return grad_feat, grid_zeros
+    wy, wx, grid_zeros, feat_proto = res
+    # Factored contraction: (B,N,H,C) intermediate instead of the (B,N,H,W)
+    # separable weight volume (which is H/C-times larger and OOMs at BC's
+    # 32x256x130x130); the N-contraction lands on the MXU.
+    tmp = wy[..., None].astype(g.dtype) * g[:, :, None, :]      # (B, N, H, C)
+    grad_feat = jnp.einsum("bnhc,bnw->bhwc", tmp, wx.astype(g.dtype))
+    # The cotangent must carry the primal feature dtype (under bf16 amp the
+    # feature map and the incoming cotangent can differ).
+    return grad_feat.astype(feat_proto.dtype), grid_zeros
 
 
 point_sample_ng.defvjp(_point_sample_ng_fwd, _point_sample_ng_bwd)
