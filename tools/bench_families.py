@@ -299,21 +299,42 @@ FAMILIES = {k: FAMILIES[k] for k in
              "be_font", "be_font_bf16", "style_gan", "style_gan_bf16")}
 
 
+def _parse_existing_rows(md_path):
+    """Rows already in BENCH_FAMILIES.md, as {label: (ms, ips)}."""
+    rows = {}
+    if not os.path.exists(md_path):
+        return rows
+    for line in open(md_path):
+        parts = [p.strip() for p in line.strip().strip("|").split("|")]
+        if len(parts) != 3 or parts[0] in ("workload", "---"):
+            continue
+        try:
+            rows[parts[0]] = (float(parts[1]), float(parts[2]))
+        except ValueError:
+            continue
+    return rows
+
+
 def main():
-    """With a family arg: run that benchmark and print one JSON line.  With no
-    args: spawn one subprocess per family (compiled TPU programs occupy HBM
-    and accumulate within a process) and write BENCH_FAMILIES.md."""
+    """With ONE family arg: run that benchmark and print one JSON line.  With
+    no args (or several family args): spawn one subprocess per family
+    (compiled TPU programs occupy HBM and accumulate within a process) and
+    write BENCH_FAMILIES.md, keeping existing rows for families not re-run
+    (tunnel variance is ~2x run to run anyway; every row is a point sample)."""
     import json as _json
     import subprocess
 
-    if len(sys.argv) > 1:
+    if len(sys.argv) == 2 and sys.argv[1] in FAMILIES:
         label, dt, bs = FAMILIES[sys.argv[1]]()
         print("BENCH_RESULT " + _json.dumps(
             {"label": label, "ms": dt * 1000, "ips": bs / dt}))
         return
 
+    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "BENCH_FAMILIES.md")
+    wanted = sys.argv[1:] or list(FAMILIES)
     rows = []
-    for name in FAMILIES:
+    for name in wanted:
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), name],
@@ -334,8 +355,22 @@ def main():
             rows.append((f"{name}: FAILED {type(e).__name__}", 0, 0))
             print(f"{name} FAILED: {e}", flush=True)
 
-    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "BENCH_FAMILIES.md")
+    # Merge: fresh measurements win; families not re-run keep their old row.
+    merged = _parse_existing_rows(md)
+    for label, ms, ips in rows:
+        if ms:
+            merged[label] = (ms, ips)
+    # Canonical row order: family (first token), f32 before bf16.
+    family_order = ["VAE-GAN", "BE", "BE_GAN", "BP", "BC", "BCP",
+                    "BE_font", "Style_GAN"]
+
+    def order_key(item):
+        tok = item[0].split()[0]
+        fam = family_order.index(tok) if tok in family_order else len(family_order)
+        return (fam, "bf16" in item[0], item[0])
+
+    merged = dict(sorted(merged.items(), key=order_key))
+
     notes = ""
     if os.path.exists(md):
         old = open(md).read()
@@ -346,7 +381,7 @@ def main():
         f.write("# Per-family TPU train-step benchmarks (1x v5e chip)\n\n")
         f.write("Full fused train iteration (all phases/optimizers) per family.\n\n")
         f.write("| workload | ms/step | images/sec |\n|---|---|---|\n")
-        for label, ms, ips in rows:
+        for label, (ms, ips) in merged.items():
             f.write(f"| {label} | {ms:.2f} | {ips:.1f} |\n")
         f.write(notes)
     print(f"wrote {md}")
