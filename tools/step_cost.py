@@ -15,6 +15,10 @@ Usage: python tools/step_cost.py [--dtype bf16] [--batch 128]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,12 +29,17 @@ F32_TFLOPS = 22.0
 HBM_GBPS = 600.0
 
 
-def report(compiled, batch: int, peak_tflops: float) -> None:
-    ca = compiled.cost_analysis()
-    if isinstance(ca, list):
-        ca = ca[0]
-    flops = ca.get("flops", 0.0)
-    bytes_acc = ca.get("bytes accessed", 0.0)
+def report(compileds, batch: int, peak_tflops: float) -> None:
+    """compileds: one compiled program or a list (multi-program steps sum)."""
+    if not isinstance(compileds, (list, tuple)):
+        compileds = [compileds]
+    flops = bytes_acc = 0.0
+    for compiled in compileds:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops += ca.get("flops", 0.0)
+        bytes_acc += ca.get("bytes accessed", 0.0)
     t_flops = flops / (peak_tflops * 1e12)
     t_hbm = bytes_acc / (HBM_GBPS * 2**30)
     print(f"flops/step:          {flops / 1e12:.3f} TFLOP")
@@ -56,7 +65,12 @@ def main():
 
         label, step, state, step_args, _, bs = BUILDERS[args.family]()
         # Per-family scan iters divide FLOPs evenly, so analyze one raw step.
-        compiled = step.lower(state, *step_args).compile()
+        if hasattr(step, "lower"):
+            compiled = step.lower(state, *step_args).compile()
+        else:
+            # split multi-program steps (be_gan) expose their jitted phases
+            phases = [step.d_phase, step.g_phase]
+            compiled = [p.lower(state, *step_args).compile() for p in phases]
         # bf16 rows are bound by the bf16 matmul rate; the amortized scan
         # keeps everything else identical.
         peak = BF16_TFLOPS if "bf16" in label else F32_TFLOPS
