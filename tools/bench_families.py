@@ -234,13 +234,14 @@ def build_be_font(compute_dtype=None):
             step, fs, args, 50, BS)
 
 
-def build_style_gan(compute_dtype=None):
+def build_style_gan(compute_dtype=None, batch=None):
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
     from vaeplay_tpu.train.state import TrainState, torch_adam
     from vaeplay_tpu.train.steps_style_gan import StyleGanState, make_style_gan_train_step
 
-    IMG, Z, BS = 256, 512, 16
+    IMG, Z = 256, 512
+    BS = batch or int(os.environ.get("STYLE_GAN_BS", 32))
     e_model = StyleEncoder(z_dim=Z, image_size=IMG)
     g_model = Generator(image_size=IMG, z_dim=Z)
     d_model = Discriminator(image_size=IMG, num_classes=2)
@@ -260,7 +261,8 @@ def build_style_gan(compute_dtype=None):
     args = (jnp.asarray(b["imgs"]),
             jnp.asarray(np.repeat(b["bimgs"], 3, axis=-1)),
             jnp.asarray(b["labels"] % 2), jax.random.PRNGKey(3))
-    return (f"Style_GAN 256px z512 bs{BS} (half reference batch)"
+    note = "reference default" if BS == 32 else "half reference batch"
+    return (f"Style_GAN 256px z512 bs{BS} ({note})"
             f"{_tag(compute_dtype)}", step, ss, args, 20, BS)
 
 
