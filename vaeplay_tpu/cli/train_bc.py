@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import optax
 
 from vaeplay_tpu.data.bc_data import BCDataset, SyntheticBCDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.models.bc import ComposeNet
 from vaeplay_tpu.parallel.mesh import (
     parse_mesh_arg, replicate, shard_batch, shard_params)
@@ -169,7 +170,9 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
         pending = None  # (tensors, trace future) awaiting its train dispatch
-        for i, b in enumerate(dset.epoch_batches(args.batchsize, epoch)):
+        for i, b in enumerate(
+            epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
+        ):
             tensors = shard_batch(mesh, (
                 b["imgs"], b["bimgs"], b["eimgs"], b["tgt_pts"],
                 b["tgt_mask"], b["key_pts"], b["key_mask"],

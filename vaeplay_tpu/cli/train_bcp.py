@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.data.bcp_data import BCPDataset, SyntheticBCPDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.models.bcp import ComposeNet, Discriminator
 from vaeplay_tpu.ops.attention import configure_ring_attention
 from vaeplay_tpu.parallel.mesh import parse_mesh_arg, replicate, shard_batch
@@ -119,13 +120,14 @@ def main(argv=None):
         )
 
     for epoch in range(start_epoch, args.epochs):
-        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
         acc, cnt_m = None, None
         for i in range(args.iterations):
             try:
                 b = next(it)
             except StopIteration:
-                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                it = epoch_iterator(dset, args.batchsize, epoch * 7919 + i,
+                    workers=args.workers)
                 b = next(it)
             imgs, labels, points, pmask = shard_batch(
                 mesh, (b["imgs"], b["labels"], b["points"], b["pmask"])

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.data.be_data import BEDataset, SyntheticBubbleDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.eval.be_eval import save_test_batch
 from vaeplay_tpu.models.be import ComposeNet
 from vaeplay_tpu.ops.warp import random_joint_rot_flip
@@ -100,13 +101,14 @@ def main(argv=None):
 
     astep = accumulating(step)
     for epoch in range(start_epoch, args.epochs):
-        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
         acc, cnt = None, None
         for i in range(args.iterations):
             try:
                 batch = next(it)
             except StopIteration:
-                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                it = epoch_iterator(dset, args.batchsize, epoch * 7919 + i,
+                    workers=args.workers)
                 batch = next(it)
             imgs, bimgs, eimgs = shard_batch(
                 mesh, (batch["imgs"], batch["bimgs"], batch["eimgs"])

@@ -18,6 +18,7 @@ from vaeplay_tpu.data.font_data import (
     AugmentOperator, FEDataset, ImageDatasetJson, SyntheticGlyphDataset,
     prepare_synthesis_data,
 )
+from vaeplay_tpu.data.prefetch import prefetch
 from vaeplay_tpu.models.be_font import ComposeNet, Discriminator
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
@@ -96,7 +97,8 @@ def main(argv=None):
 
     for epoch in range(start_epoch, args.epochs):
         acc, cnt = None, None
-        for i, b in enumerate(batches_fn(epoch)):
+        # host kana synthesis/compositing overlaps device compute
+        for i, b in enumerate(prefetch(batches_fn(epoch))):
             imgs, masks, edges, labels, styles = shard_batch(
                 mesh, (b["imgs"], b["masks"], b["edges"], b["labels"], b["styles"])
             )

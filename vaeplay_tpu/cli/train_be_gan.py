@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.data.be_data import BEDataset, SyntheticBubbleDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.eval.be_eval import save_test_batch
 from vaeplay_tpu.models.be_gan import ComposeNet, Discriminator
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
@@ -108,7 +109,7 @@ def main(argv=None):
     aug_rng = _np.random.default_rng(args.seed + 7)
 
     for epoch in range(start_epoch, args.epochs):
-        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
         acc, cnt = None, None
         for i in range(args.iterations):
             if aug_pages is not None and i % 10 == 0 and hasattr(dset, "synthesis_target"):
@@ -117,7 +118,8 @@ def main(argv=None):
             try:
                 batch = next(it)
             except StopIteration:
-                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                it = epoch_iterator(dset, args.batchsize, epoch * 7919 + i,
+                    workers=args.workers)
                 batch = next(it)
             imgs, bimgs, eimgs, labels = shard_batch(
                 mesh, (batch["imgs"], batch["bimgs"], batch["eimgs"], batch["labels"])

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from vaeplay_tpu.data.bp_data import BPDataset, SyntheticEmitDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.models.bp import ComposeNet
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
@@ -90,13 +91,14 @@ def main(argv=None):
         )
 
     for epoch in range(start_epoch, args.epochs):
-        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
         acc, cnt = None, None
         for i in range(args.iterations):
             try:
                 imgs, p1, p2 = next(it)
             except StopIteration:
-                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                it = epoch_iterator(dset, args.batchsize, epoch * 7919 + i,
+                    workers=args.workers)
                 imgs, p1, p2 = next(it)
             imgs, p1, p2 = shard_batch(mesh, (imgs, p1, p2))
             state, acc, cnt = astep(state, acc, cnt, imgs, p1, p2)

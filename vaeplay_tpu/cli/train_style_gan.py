@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
@@ -98,13 +99,14 @@ def main(argv=None):
             img_size=args.img_size, data_size=args.iterations * args.batchsize)
 
     for epoch in range(start_epoch, args.epochs):
-        it = iter(dset.epoch_batches(args.batchsize, epoch))
+        it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)
         acc, cnt = None, None
         for i in range(args.iterations):
             try:
                 b = next(it)
             except StopIteration:
-                it = iter(dset.epoch_batches(args.batchsize, epoch * 7919 + i))
+                it = epoch_iterator(dset, args.batchsize, epoch * 7919 + i,
+                    workers=args.workers)
                 b = next(it)
             x_target = b["imgs"]
             x_content = np.repeat(b["bimgs"], 3, axis=-1)

@@ -17,6 +17,7 @@ import numpy as np
 
 from vaeplay_tpu.data.circles import (
     CircleDataset, DiskCircleDataset, encode_targets)
+from vaeplay_tpu.data.prefetch import epoch_iterator
 from vaeplay_tpu.models.vae_gan import VaeGan
 from vaeplay_tpu.ops.geometry import decode_circle_param, render_circle_batch
 from vaeplay_tpu.parallel.mesh import (
@@ -69,6 +70,9 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=16)
     parser.add_argument("--data_size", type=int, dest="data_size", default=4096)
+    parser.add_argument("--workers", type=int, dest="workers", default=4,
+                        help="host loader threads for --path disk mode "
+                             "(reference train.py:150 num_workers=4)")
     parser.add_argument("--path", type=str, dest="path", default=None,
                         help="pre-generated circle dir (filename-encoded "
                              "params, reference CDataset ifGen=False mode, "
@@ -143,7 +147,9 @@ def main(argv=None):
         acc, cnt = None, None
         t0 = time.perf_counter()
         seen = 0
-        for i, batch in enumerate(ds.epoch_batches(args.batchsize, epoch_seed=epoch)):
+        for i, batch in enumerate(
+            epoch_iterator(ds, args.batchsize, epoch, workers=args.workers)
+        ):
             rng, sub = jax.random.split(rng)
             # metrics accumulate on device; the host only syncs at viz_freq
             if args.path:

@@ -100,10 +100,14 @@ class BCDataset:
             bimg, self.padding, self.max_points)
         return img, bimg[..., None], eimg[..., None], pts, n, kpts, k
 
-    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
+    def epoch_batches(self, batch_size: int, seed: int = 0,
+                      workers: int = 0) -> Iterator[dict]:
+        """workers > 0 pools the per-sample decode + contour precompute
+        (reference DataLoader(num_workers) equivalent, train_BC.py)."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         order = np.random.default_rng(seed).permutation(len(self))
-        for i in range(0, (len(self) // batch_size) * batch_size, batch_size):
-            items = [self.load(j) for j in order[i : i + batch_size]]
+        for items in batched_loads(self.load, order, batch_size, workers):
             imgs, bimgs, eimgs, pts, ns, kpts, ks = zip(*items)
             mp = self.max_points
             yield {

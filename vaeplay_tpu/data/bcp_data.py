@@ -180,14 +180,28 @@ class BCPDataset:
         img, pts = augment_points_sample(img, it["points"], self.max_points, rng)
         return img, it["label"], pts
 
-    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
+    def epoch_batches(self, batch_size: int, seed: int = 0,
+                      workers: int = 0) -> Iterator[dict]:
+        """workers > 0 pools decode + joint augmentation on threads; each
+        sample then draws from its own (seed, sample-index) child rng so
+        results are deterministic and thread-order-independent (workers=0
+        keeps the original single-stream draws)."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self))
         p = self.max_points
-        for i in range(0, (len(self) // batch_size) * batch_size, batch_size):
+        if workers > 0:
+            load = lambda j: self.load(j, np.random.default_rng((seed, int(j))))
+            item_batches = batched_loads(load, order, batch_size, workers)
+        else:
+            stop = (len(self) // batch_size) * batch_size
+            seq = (self.load(int(j), rng) for j in order[:stop])
+            item_batches = ([next(seq) for _ in range(batch_size)]
+                            for _ in range(stop // batch_size))
+        for items in item_batches:
             imgs, labels, points, pmask = [], [], [], []
-            for j in order[i : i + batch_size]:
-                img, lbl, pts = self.load(j, rng)
+            for img, lbl, pts in items:
                 buf = np.zeros((p, 6), np.float32)
                 n = min(len(pts), p)
                 buf[:n] = pts[:n]

@@ -75,11 +75,16 @@ class BEDataset:
         bimg, eimg = decode_layer_mask(np.asarray(mask))
         return img, bimg[..., None], eimg[..., None], self.labels[idx]
 
-    def epoch_batches(self, batch_size: int, seed: int = 0, drop_remainder: bool = True) -> Iterator[dict]:
+    def epoch_batches(self, batch_size: int, seed: int = 0, drop_remainder: bool = True,
+                      workers: int = 0) -> Iterator[dict]:
+        """workers > 0 parallelizes the per-sample PIL decode on a thread
+        pool (the reference's DataLoader(num_workers=...) equivalent,
+        train_BE.py:115-121); batch contents are identical either way."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         order = np.random.default_rng(seed).permutation(len(self))
-        stop = (len(self) // batch_size) * batch_size if drop_remainder else len(self)
-        for i in range(0, stop, batch_size):
-            items = [self.load(j) for j in order[i : i + batch_size]]
+        for items in batched_loads(self.load, order, batch_size, workers,
+                                   drop_remainder):
             imgs, bimgs, eimgs, labels = zip(*items)
             yield {
                 "imgs": np.stack(imgs),

@@ -177,11 +177,24 @@ class BEGanDataset:
 
         return img, bimg[..., None], eimg[..., None], label, cc, cb
 
-    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
+    def epoch_batches(self, batch_size: int, seed: int = 0,
+                      workers: int = 0) -> Iterator[dict]:
+        """workers > 0 pools decode + affine aug on threads with per-sample
+        (seed, index) child rngs (deterministic regardless of thread order);
+        workers=0 keeps the original single-stream draws."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self))
-        for i in range(0, (len(self) // batch_size) * batch_size, batch_size):
-            items = [self.load(j, rng) for j in order[i : i + batch_size]]
+        if workers > 0:
+            load = lambda j: self.load(j, np.random.default_rng((seed, int(j))))
+            item_batches = batched_loads(load, order, batch_size, workers)
+        else:
+            stop = (len(self) // batch_size) * batch_size
+            seq = (self.load(int(j), rng) for j in order[:stop])
+            item_batches = ([next(seq) for _ in range(batch_size)]
+                            for _ in range(stop // batch_size))
+        for items in item_batches:
             imgs, bimgs, eimgs, labels, ccs, cbs = zip(*items)
             cc_buf = [_pad_contour(c) for c in ccs]
             cb_buf = [_pad_contour(c) for c in cbs]

@@ -74,10 +74,14 @@ class BPDataset:
         stacked = np.stack([img, bmask, emask], axis=-1)
         return stacked, phase1, phase2[:, :6]
 
-    def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[Tuple]:
+    def epoch_batches(self, batch_size: int, seed: int = 0,
+                      workers: int = 0) -> Iterator[Tuple]:
+        """workers > 0 pools the per-sample decode + annotation parse
+        (reference DataLoader(num_workers) equivalent, train_BP.py)."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         order = np.random.default_rng(seed).permutation(len(self))
-        for i in range(0, (len(self) // batch_size) * batch_size, batch_size):
-            items = [self.load(j) for j in order[i : i + batch_size]]
+        for items in batched_loads(self.load, order, batch_size, workers):
             imgs, p1, p2 = zip(*items)
             yield np.stack(imgs), np.stack(p1), np.stack(p2)
 

@@ -102,14 +102,20 @@ class DiskCircleDataset:
         return (np.asarray(img, np.float32) / 255.0)[..., None]
 
     def epoch_batches(
-        self, batch_size: int, epoch_seed: int = 0, drop_remainder: bool = True
+        self, batch_size: int, epoch_seed: int = 0, drop_remainder: bool = True,
+        workers: int = 0,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """workers > 0 pools the per-file PNG decode on a thread pool."""
+        from vaeplay_tpu.data.prefetch import batched_loads
+
         order = np.random.default_rng(epoch_seed).permutation(len(self))
         stop = (len(self) // batch_size) * batch_size if drop_remainder else len(self)
-        for i in range(0, stop, batch_size):
-            sel = order[i : i + batch_size]
-            imgs = np.stack([self.load(j) for j in sel])
-            yield imgs, self.params[sel]
+        for i, items in zip(
+            range(0, stop, batch_size),
+            batched_loads(self.load, order, batch_size, workers, drop_remainder),
+        ):
+            sel = order[i : i + len(items)]
+            yield np.stack(items), self.params[sel]
 
 
 def encode_targets(n: int, params: np.ndarray) -> np.ndarray:
