@@ -26,6 +26,51 @@ def test_s2d_conv_equals_plain_conv(c, f, hw):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.parametrize("c,f,hw,s", [(4, 8, 32, 4), (8, 4, 32, 4),
+                                      (4, 1, 24, 8), (1, 4, 16, 2)])
+def test_s1_s2d_conv_equals_plain_conv(c, f, hw, s):
+    """Stride-1 space-to-depth conv: values AND input/kernel grads match the
+    plain 3x3 conv with the same canonical kernel."""
+    from vaeplay_tpu.core.layers import (
+        SmallChannelConv3x3S1, depth_to_space, space_to_depth)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, hw, hw, c)).astype(np.float32))
+    mod = SmallChannelConv3x3S1(f, block=s, activate=None)
+    v = mod.init(jax.random.PRNGKey(0), space_to_depth(x, s))
+
+    def via_s2d(params, xx):
+        return depth_to_space(
+            mod.apply({"params": params}, space_to_depth(xx, s)), s)
+
+    def plain(params, xx):
+        return jax.lax.conv_general_dilated(
+            xx, params["kernel"], (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["bias"]
+
+    got, ref = via_s2d(v["params"], x), plain(v["params"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    cot = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    g_got = jax.grad(lambda p, xx: jnp.sum(via_s2d(p, xx) * cot),
+                     argnums=(0, 1))(v["params"], x)
+    g_ref = jax.grad(lambda p, xx: jnp.sum(plain(p, xx) * cot),
+                     argnums=(0, 1))(v["params"], x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_got),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_s2d_roundtrip():
+    from vaeplay_tpu.core.layers import depth_to_space, space_to_depth
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 12, 12, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 3), 3)), np.asarray(x))
+
+
 def test_one_channel_conv_equals_plain_conv():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, 24, 24, 1)).astype(np.float32))

@@ -187,6 +187,79 @@ class SmallChannelConv3x3S2(nn.Module):
         return apply_activation(y, self.activate, self.lrelu_slope)
 
 
+def space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/s, W/s, s²C), channel order (py, px, c)."""
+    b, h, w, c = x.shape
+    assert h % s == 0 and w % s == 0, (h, w, s)
+    x = x.reshape(b, h // s, s, w // s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // s, w // s, s * s * c)
+
+
+def depth_to_space(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Inverse of space_to_depth: (B, Hb, Wb, s²C) → (B, s·Hb, s·Wb, C)."""
+    b, hb, wb, cc = x.shape
+    c = cc // (s * s)
+    x = x.reshape(b, hb, wb, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hb * s, wb * s, c)
+
+
+class SmallChannelConv3x3S1(nn.Module):
+    """3x3 *stride-1* conv for very-few-channel full-resolution maps, computed
+    in the space-to-depth(s) domain — numerically identical to the plain conv
+    (same canonical (3, 3, C, F) kernel parameter; out-of-subpixel taps are
+    exact zeros) but with s²C / s²F channels on the TPU's 128-lane axis.
+
+    Rationale: TPU convs and their gradients put channels on the lane axis, so
+    the reference's 1-8-channel 3x3 predictor tails at 512² (MaskNet pred1-3,
+    networks_BE.py:54-58) are lane-padded up to 128/C×.  Measured on the BE
+    head tail (bs32, 512px, bf16): 15.4 ms → ~2 ms for three convs whose
+    arithmetic is <1 GFLOP.
+
+    Input and output stay in the s2d domain ((B, H/s, W/s, s²C), channel
+    order (py, px, c) matching `space_to_depth`), so a chain of these convs
+    pays the layout transpose once at each end:
+
+        z = space_to_depth(x, 4)
+        z = SmallChannelConv3x3S1(8, block=4, ...)(z)
+        z = SmallChannelConv3x3S1(1, block=4, ...)(z)
+        y = depth_to_space(z, 4)
+    """
+
+    features: int
+    block: int = 4
+    activate: Optional[str] = "relu"
+    lrelu_slope: float = 0.02
+    kernel_init: nn.initializers.Initializer = vinit.conv_kaiming
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        s = self.block
+        c = z.shape[-1] // (s * s)
+        assert z.shape[-1] == s * s * c, (z.shape, s)
+        f = self.features
+        k = self.param("kernel", self.kernel_init, (3, 3, c, f))
+        bias = self.param("bias", vinit.zeros, (f,))
+        # Expanded block-space kernel: output subpixel (oy, ox)'s 3x3 taps at
+        # absolute offsets (oy+r-1, ox+t-1) land in neighbor block (di-1,
+        # dj-1) at subpixel (py, px).  All other entries are exact zeros.
+        w = jnp.zeros((3, 3, s, s, c, s, s, f), k.dtype)
+        for oy in range(s):
+            for ox in range(s):
+                for r in range(3):
+                    for t in range(3):
+                        di, py = divmod(oy + r - 1 + s, s)
+                        dj, px = divmod(ox + t - 1 + s, s)
+                        w = w.at[di, dj, py, px, :, oy, ox, :].set(k[r, t])
+        w = w.reshape(3, 3, s * s * c, s * s * f)
+        dt = jnp.promote_types(z.dtype, k.dtype)
+        y = jax.lax.conv_general_dilated(
+            z.astype(dt), w.astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(bias, s * s).astype(dt)
+        return apply_activation(y, self.activate, self.lrelu_slope)
+
+
 class DenseBlock(nn.Module):
     """linear [+ activation]; LeakyReLU slope 0.2 (reference blocks.py:36-50)."""
 

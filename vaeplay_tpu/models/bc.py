@@ -31,7 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vaeplay_tpu.core.layers import ConvBlock, SelfAttentionBlock, add_coords, upsample2x_bilinear
+from vaeplay_tpu.core.layers import (
+    ConvBlock, SelfAttentionBlock, SmallChannelConv3x3S1, add_coords,
+    depth_to_space, space_to_depth, upsample2x_bilinear)
 from vaeplay_tpu.models.backbone import ResNetFPN
 from vaeplay_tpu.ops.contour import batch_find_contours
 from vaeplay_tpu.ops.image import point_sample_ng
@@ -58,9 +60,15 @@ class MaskNet(nn.Module):
         x = ConvBlock(c // 16, 3, bn="batch", name="c2a")(x, train=train)
         x = ConvBlock(c // 32, 3, bn="batch", name="c2b")(x, train=train)
         x = upsample2x_bilinear(x)
-        x = ConvBlock(c // 64, 3, activate=None, name="p1")(x, train=train)
-        x = ConvBlock(1, 3, activate=None, name="p2")(x, train=train)
-        return x
+        # full-res 4→1-channel predictor tail in the space-to-depth(4) domain
+        # (exact same math, no 128-lane channel padding — see
+        # core/layers.SmallChannelConv3x3S1)
+        z = space_to_depth(x, 4)
+        z = SmallChannelConv3x3S1(c // 64, block=4, activate=None,
+                                  name="p1")(z, train=train)
+        z = SmallChannelConv3x3S1(1, block=4, activate=None,
+                                  name="p2")(z, train=train)
+        return depth_to_space(z, 4)
 
 
 class OneChannelConv3x3(nn.Module):

@@ -17,7 +17,8 @@ from typing import Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vaeplay_tpu.core.layers import ConvBlock, Up
+from vaeplay_tpu.core.layers import (
+    ConvBlock, SmallChannelConv3x3S1, Up, depth_to_space, space_to_depth)
 from vaeplay_tpu.models.backbone import ResNetFPN
 
 
@@ -46,10 +47,18 @@ class MaskNet(nn.Module):
         c = self.in_channel
         x = Up(c // 4, if_add_coord=True, name="up1")(x, train=train)
         x = Up(c // 8, if_add_coord=True, name="up2")(x, train=train)
-        x = ConvBlock(c // 4, 3, activate=None, name="pred1")(x, train=train)
-        x = ConvBlock(c // 8, 3, activate=None, name="pred2")(x, train=train)
-        x = ConvBlock(1, 3, activate=None, name="pred3")(x, train=train)
-        return x
+        # The 4-8-channel full-resolution predictor tail (networks_BE.py:54-58)
+        # runs in the space-to-depth(4) domain: numerically identical to plain
+        # 3x3 convs but without the 128-lane channel padding TPU applies to
+        # tiny-channel convs at 512² (measured 15.4 ms → ~2 ms per head).
+        z = space_to_depth(x, 4)
+        z = SmallChannelConv3x3S1(c // 4, block=4, activate=None,
+                                  name="pred1")(z, train=train)
+        z = SmallChannelConv3x3S1(c // 8, block=4, activate=None,
+                                  name="pred2")(z, train=train)
+        z = SmallChannelConv3x3S1(1, block=4, activate=None,
+                                  name="pred3")(z, train=train)
+        return depth_to_space(z, 4)
 
 
 class EdgeNet(MaskNet):
