@@ -26,17 +26,18 @@ def test_s2d_conv_equals_plain_conv(c, f, hw):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
-@pytest.mark.parametrize("c,f,hw,s", [(4, 8, 32, 4), (8, 4, 32, 4),
-                                      (4, 1, 24, 8), (1, 4, 16, 2)])
-def test_s1_s2d_conv_equals_plain_conv(c, f, hw, s):
+@pytest.mark.parametrize("c,f,hw,s,k", [(4, 8, 32, 4, 3), (8, 4, 32, 4, 3),
+                                        (4, 1, 24, 8, 3), (1, 4, 16, 2, 3),
+                                        (6, 8, 32, 4, 5), (3, 4, 24, 4, 5)])
+def test_s1_s2d_conv_equals_plain_conv(c, f, hw, s, k):
     """Stride-1 space-to-depth conv: values AND input/kernel grads match the
-    plain 3x3 conv with the same canonical kernel."""
+    plain kxk conv with the same canonical kernel."""
     from vaeplay_tpu.core.layers import (
         SmallChannelConv3x3S1, depth_to_space, space_to_depth)
 
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.normal(size=(2, hw, hw, c)).astype(np.float32))
-    mod = SmallChannelConv3x3S1(f, block=s, activate=None)
+    mod = SmallChannelConv3x3S1(f, block=s, kernel_size=k, activate=None)
     v = mod.init(jax.random.PRNGKey(0), space_to_depth(x, s))
 
     def via_s2d(params, xx):
@@ -44,8 +45,9 @@ def test_s1_s2d_conv_equals_plain_conv(c, f, hw, s):
             mod.apply({"params": params}, space_to_depth(xx, s)), s)
 
     def plain(params, xx):
+        p = k // 2
         return jax.lax.conv_general_dilated(
-            xx, params["kernel"], (1, 1), ((1, 1), (1, 1)),
+            xx, params["kernel"], (1, 1), ((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + params["bias"]
 

@@ -223,32 +223,40 @@ class SmallChannelConv3x3S1(nn.Module):
         z = SmallChannelConv3x3S1(8, block=4, ...)(z)
         z = SmallChannelConv3x3S1(1, block=4, ...)(z)
         y = depth_to_space(z, 4)
+
+    kernel_size may be any odd k with k//2 <= block (3x3 and the reference's
+    5x5 stems both qualify at block=4) — taps then reach at most one
+    neighboring block, so the block-space conv extent stays 3.
     """
 
     features: int
     block: int = 4
+    kernel_size: int = 3
     activate: Optional[str] = "relu"
     lrelu_slope: float = 0.02
     kernel_init: nn.initializers.Initializer = vinit.conv_kaiming
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        s = self.block
+        s, ks = self.block, self.kernel_size
+        half = ks // 2
+        assert ks % 2 == 1 and half <= s, (ks, s)
         c = z.shape[-1] // (s * s)
         assert z.shape[-1] == s * s * c, (z.shape, s)
         f = self.features
-        k = self.param("kernel", self.kernel_init, (3, 3, c, f))
+        k = self.param("kernel", self.kernel_init, (ks, ks, c, f))
         bias = self.param("bias", vinit.zeros, (f,))
-        # Expanded block-space kernel: output subpixel (oy, ox)'s 3x3 taps at
-        # absolute offsets (oy+r-1, ox+t-1) land in neighbor block (di-1,
-        # dj-1) at subpixel (py, px).  All other entries are exact zeros.
+        # Expanded block-space kernel: output subpixel (oy, ox)'s kxk taps at
+        # absolute offsets (oy+r-half, ox+t-half) land in neighbor block
+        # (di-1, dj-1) at subpixel (py, px).  All other entries are exact
+        # zeros.
         w = jnp.zeros((3, 3, s, s, c, s, s, f), k.dtype)
         for oy in range(s):
             for ox in range(s):
-                for r in range(3):
-                    for t in range(3):
-                        di, py = divmod(oy + r - 1 + s, s)
-                        dj, px = divmod(ox + t - 1 + s, s)
+                for r in range(ks):
+                    for t in range(ks):
+                        di, py = divmod(oy + r - half + s, s)
+                        dj, px = divmod(ox + t - half + s, s)
                         w = w.at[di, dj, py, px, :, oy, ox, :].set(k[r, t])
         w = w.reshape(3, 3, s * s * c, s * s * f)
         dt = jnp.promote_types(z.dtype, k.dtype)
