@@ -57,6 +57,96 @@ def test_label_gating_changes_output(sg_state):
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+def test_vjp_shared_gen_branch_matches_two_pass(sg_state):
+    """The fused step linearizes G once and pulls back the summed x_gen
+    cotangents (adv gen_d + latent cycle).  Assert it produces the same
+    updated params as the literal two-pass form (recompute G forward in the
+    latent phase, two separate backwards) — reference train_Style_GAN.py
+    :231-238 semantics."""
+    from vaeplay_tpu.ops import losses as L
+    from vaeplay_tpu.train.steps_style_gan import make_style_gan_train_step
+
+    import optax
+
+    (e_model, g_model, d_model), ss_adam = sg_state
+    # SGD(1.0) states: updated params differ from the originals by exactly
+    # the gradients, so the comparison below is a direct gradient check —
+    # Adam's g/sqrt(v) normalization would amplify reassociation noise on
+    # near-zero-gradient leaves into lr-scale param diffs.
+    sgd = optax.sgd(1.0)
+    ss = StyleGanState(
+        e=TrainState.create(e_model.apply, ss_adam.e.params, None, sgd),
+        g=TrainState.create(g_model.apply, ss_adam.g.params, None, sgd),
+        d=TrainState.create(d_model.apply, ss_adam.d.params, None, sgd),
+    )
+    rng = jax.random.PRNGKey(11)
+    x_target = jax.random.uniform(jax.random.PRNGKey(8), (2, IMG, IMG, 3))
+    x_content = jax.random.uniform(jax.random.PRNGKey(9), (2, IMG, IMG, 3))
+    labels = jnp.asarray([0, 1])
+
+    step = make_style_gan_train_step(e_model, g_model, d_model, z_dim=Z)
+    got, _ = step(ss, x_target, x_content, labels, rng)
+
+    def E(params, x):
+        return e_model.apply({"params": params}, x, train=True)
+
+    def G(params, xc, z, y):
+        return g_model.apply({"params": params}, xc, z, y, train=True)
+
+    def D(params, x, xc):
+        return d_model.apply({"params": params}, x, xc, train=True)
+
+    @jax.jit
+    def literal_step(ss, x_target, x_content, labels, rng):
+        e, g, d = ss.e, ss.g, ss.d
+        rng_eps, rng_z = jax.random.split(rng)
+        z_sample = jax.random.normal(rng_z, (2, Z))
+
+        def eg_loss(e_params, g_params):
+            mu, logvar = E(e_params, x_target)
+            eps = jax.random.normal(rng_eps, mu.shape)
+            z_enc = eps * jnp.exp(logvar / 2.0) + mu
+            x_rec = G(g_params, x_content, z_enc, labels)
+            rv, rt = D(d.params, x_rec, x_content)
+            kl = 0.5 * jnp.sum(jnp.exp(logvar) + mu**2 - logvar - 1.0)
+            rec_d = (jnp.mean(L.bce(rv, jnp.ones_like(rv)))
+                     + jnp.mean(L.softmax_cross_entropy(rt, labels)))
+            pixel = jnp.mean(jnp.abs(x_rec - x_target))
+            x_gen = G(g_params, x_content, z_sample, labels)
+            gv, gt = D(d.params, x_gen, x_content)
+            gen_d = (jnp.mean(L.bce(gv, jnp.ones_like(gv)))
+                     + jnp.mean(L.softmax_cross_entropy(gt, labels)))
+            return kl + rec_d + pixel + gen_d
+
+        ge, gg = jax.grad(eg_loss, argnums=(0, 1))(e.params, g.params)
+        e = e.apply_gradients(ge)
+
+        def latent_loss(g_params):
+            x_gen = G(g_params, x_content, z_sample, labels)
+            mu, _ = E(e.params, x_gen)
+            return jnp.mean(jnp.abs(mu - z_sample)) * 0.5
+
+        lg = jax.grad(latent_loss)(g.params)
+        g = g.apply_gradients(jax.tree_util.tree_map(jnp.add, gg, lg))
+        return e, g
+
+    e_ref, g_ref = literal_step(ss, x_target, x_content, labels, rng)
+
+    for name, a, b in (("e", e_ref.params, got.e.params),
+                       ("g", g_ref.params, got.g.params)):
+        for pa, pb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            # The two forms reduce gradients in different orders (shared-vjp
+            # pullback vs recomputed backward), so small elements of a leaf
+            # drift by ~1e-4 x the leaf's own scale.  Tolerance is therefore
+            # per-leaf scaled; a semantic bug (a dropped loss term) shows up
+            # as O(1) relative error on whole leaves.
+            pa, pb = np.asarray(pa), np.asarray(pb)
+            scale = max(1.0, float(np.max(np.abs(pa))))
+            np.testing.assert_allclose(pb, pa, atol=1e-4 * scale, rtol=1e-3,
+                                       err_msg=f"{name} params diverge")
+
+
 def test_style_gan_train_step(sg_state):
     (e_model, g_model, d_model), ss = sg_state
     step = make_style_gan_train_step(e_model, g_model, d_model, z_dim=Z)
