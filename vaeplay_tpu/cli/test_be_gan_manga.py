@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.cli.test_be_manga import process_page
+from vaeplay_tpu.eval.predictor import BucketedPredictor
 from vaeplay_tpu.models.be_gan import ComposeNet
 from vaeplay_tpu.train.checkpoint import Checkpointer
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
@@ -45,7 +46,7 @@ def main(argv=None):
         state = state.replace(params=g["params"],
                               batch_stats=g["batch_stats"],
                               constants=g.get("constants", state.constants))
-    eval_step = make_be_eval_step(model)
+    predict = BucketedPredictor(make_be_eval_step(model), state)
 
     for manga in sorted(os.listdir(args.path)):
         m_path = os.path.join(args.path, manga)
@@ -63,7 +64,7 @@ def main(argv=None):
                     if not os.path.exists(anno):
                         continue
                     try:
-                        process_page(eval_step, state,
+                        process_page(predict,
                                      os.path.join(c_path, pagef), anno, None,
                                      args.img_size, args.res_output,
                                      f"{manga}_{epi}_{chapter}_{stem}")

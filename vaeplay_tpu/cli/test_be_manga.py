@@ -8,7 +8,6 @@ TPU, and pastes results back at page resolution (eval/manga.py).
 import argparse
 import os
 
-import jax.numpy as jnp
 import numpy as np
 
 from vaeplay_tpu.cli.test_be import load_be_state
@@ -16,16 +15,22 @@ from vaeplay_tpu.eval.manga import (
     load_manga_from_annotation, load_manga_from_mask,
     paste_edge_result_on_manga, paste_result_on_manga,
 )
+from vaeplay_tpu.eval.predictor import BucketedPredictor
 from vaeplay_tpu.train.steps_be import make_be_eval_step
 from vaeplay_tpu.utils.viz import makedirs
 
 
-def process_page(eval_step, state, img_path, anno_path, mask_path,
+def process_page(predict, img_path, anno_path, mask_path,
                  img_size, res_output, name):
     """Annotation route (labelme boxes, ref main_annotation
     test_BE_manga.py:414-462) when anno_path is given; otherwise the
     connected-components mask route (ref main_mask :373-412), whose paste
-    takes edges from the prediction and content from the coarse mask."""
+    takes edges from the prediction and content from the coarse mask.
+
+    `predict` maps (B, H, W, 3) images → dict of np arrays; pass a
+    `eval.predictor.BucketedPredictor` so the varying bubbles-per-page batch
+    size maps onto a handful of padded bucket shapes instead of one XLA
+    compile per distinct count."""
     if anno_path:
         page = load_manga_from_annotation(img_path, anno_path, img_size)
     else:
@@ -33,7 +38,7 @@ def process_page(eval_step, state, img_path, anno_path, mask_path,
     if page["images"].shape[0] == 0:
         print(f"{name}: no bubbles found")
         return
-    preds = eval_step(state, jnp.asarray(page["images"]))
+    preds = predict(page["images"])
     if anno_path:
         paste_result_on_manga(
             img_path, page, np.asarray(preds["masks"]),
@@ -64,7 +69,7 @@ def main(argv=None):
     makedirs(args.res_output)
     model, state = load_be_state(None if args.debug else args.model_path,
                                  args.img_size)
-    eval_step = make_be_eval_step(model)
+    predict = BucketedPredictor(make_be_eval_step(model), state)
 
     for manga in sorted(os.listdir(args.path)):
         m_path = os.path.join(args.path, manga)
@@ -94,7 +99,7 @@ def main(argv=None):
                         if mask is None:
                             continue
                     try:
-                        process_page(eval_step, state, img_path, anno, mask,
+                        process_page(predict, img_path, anno, mask,
                                      args.img_size, args.res_output,
                                      f"{manga}_{epi}_{chapter}_{stem}")
                     except Exception as e:  # skip bad pages (test_BE_manga.py:460)

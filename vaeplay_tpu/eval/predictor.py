@@ -1,0 +1,73 @@
+"""Bucketed batch predictor — fixed-shape serving for variable-size batches.
+
+The manga serve path (reference test_BE_manga.py:414-462) batches
+bubbles-per-page, and the bubble count varies page to page.  Under jit every
+distinct batch size is a distinct XLA program: on TPU that is a fresh 20-60 s
+compile through the tunnel per new page shape.  `BucketedPredictor` pads each
+request up to the next power-of-two bucket (and splits requests larger than
+`max_batch` into chunks), so at most log2(max_batch)+1 programs ever compile,
+while callers still get exactly-their-batch results back.
+
+Per-sample model outputs make padding exact: BE/BE_GAN nets are per-sample
+(convs + frozen BatchNorm inference stats — no cross-batch coupling), so
+rows of the padded output equal the rows of any other batch shape; the
+equivalence is asserted by tests/test_predictor.py.
+"""
+
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def next_bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two ≥ n, capped at max_batch (n ≤ max_batch)."""
+    assert 0 < n <= max_batch, (n, max_batch)
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class BucketedPredictor:
+    """Wraps a jitted `eval_step(state, imgs) -> dict of (B, ...) arrays` so
+    callers may pass any leading batch size without triggering per-shape
+    recompiles.
+
+    - requests with n ≤ max_batch pad (edge-repeat row 0) to the next
+      power-of-two bucket;
+    - larger requests run in max_batch chunks (the tail chunk buckets);
+    - outputs are sliced back to the true n and stacked on host.
+    """
+
+    def __init__(self, eval_step: Callable, state, max_batch: int = 32):
+        self._step = eval_step
+        self._state = state
+        self.max_batch = int(max_batch)
+        self.compiled_buckets: set = set()   # observability: shapes seen
+
+    def _run_bucket(self, imgs: np.ndarray) -> Dict[str, np.ndarray]:
+        n = imgs.shape[0]
+        bucket = next_bucket(n, self.max_batch)
+        if bucket != n:
+            pad = np.broadcast_to(imgs[:1], (bucket - n,) + imgs.shape[1:])
+            imgs = np.concatenate([imgs, pad], axis=0)
+        self.compiled_buckets.add(bucket)
+        out = self._step(self._state, jnp.asarray(imgs))
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def __call__(self, imgs) -> Dict[str, np.ndarray]:
+        imgs = np.asarray(imgs)
+        n = imgs.shape[0]
+        if n == 0:
+            raise ValueError("empty batch")
+        if n <= self.max_batch:
+            return self._run_bucket(imgs)
+        chunks = [
+            self._run_bucket(imgs[i:i + self.max_batch])
+            for i in range(0, n, self.max_batch)
+        ]
+        return {
+            k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
+        }
