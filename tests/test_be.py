@@ -87,3 +87,36 @@ def test_decode_layer_mask():
     assert b[0, 0] == 0 and e[0, 0] == 0
     assert b[1, 1] == 1.0 and e[1, 1] == 0.0
     assert b[2, 2] == 0.0 and e[2, 2] == 1.0
+
+
+def test_packed_eval_step_matches_thresholded_probs(be_state):
+    """Serving contract: the bit-packed eval step unpacks to exactly the
+    0.5-thresholded probability maps of the plain eval step (the threshold
+    moves on-device as a logits >= 0 compare — sigmoid is monotonic with
+    sigmoid(0) = 0.5)."""
+    from vaeplay_tpu.eval.predictor import make_packed_be_predict
+    from vaeplay_tpu.train.steps_be import make_be_eval_step
+
+    model, state = be_state
+    imgs = jnp.asarray(
+        SyntheticBubbleDataset(img_size=64).sample_batch(3)["imgs"])
+    probs = jax.device_get(make_be_eval_step(model)(state, imgs))
+    predict = make_packed_be_predict(model, state, 64)
+    binary = predict(np.asarray(imgs))
+    for k in ("masks", "edges"):
+        assert binary[k].shape == probs[k].shape
+        assert binary[k].dtype == np.float32
+        np.testing.assert_array_equal(
+            binary[k], (probs[k] >= 0.5).astype(np.float32))
+
+
+def test_packed_predict_buckets_and_slices(be_state):
+    """Odd batch sizes pad to the power-of-two bucket and slice back."""
+    from vaeplay_tpu.eval.predictor import make_packed_be_predict
+
+    model, state = be_state
+    imgs = SyntheticBubbleDataset(img_size=64).sample_batch(5)["imgs"]
+    out5 = make_packed_be_predict(model, state, 64)(imgs)
+    assert out5["masks"].shape == (5, 64, 64, 1)
+    out1 = make_packed_be_predict(model, state, 64)(imgs[:1])
+    np.testing.assert_array_equal(out5["masks"][:1], out1["masks"])

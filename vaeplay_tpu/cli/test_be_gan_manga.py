@@ -9,11 +9,11 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.cli.test_be_manga import process_page
-from vaeplay_tpu.eval.predictor import BucketedPredictor
+from vaeplay_tpu.eval.predictor import make_packed_be_predict
 from vaeplay_tpu.models.be_gan import ComposeNet
 from vaeplay_tpu.train.checkpoint import Checkpointer
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
-from vaeplay_tpu.train.steps_be import make_be_eval_step
+from vaeplay_tpu.utils.amp import resolve_dtype
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -28,6 +28,8 @@ def main(argv=None):
     parser.add_argument("--img_size", type=int, dest="img_size", default=512)
     parser.add_argument("--res_output", type=str, dest="res_output",
                         default="./results/manga_gan")
+    parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
+                        choices=("float32", "f32", "bfloat16", "bf16"))
     args = parser.parse_args(argv)
     if not args.debug and not args.model_path:
         parser.error("--model_path required unless --debug")
@@ -46,7 +48,8 @@ def main(argv=None):
         state = state.replace(params=g["params"],
                               batch_stats=g["batch_stats"],
                               constants=g.get("constants", state.constants))
-    predict = BucketedPredictor(make_be_eval_step(model), state)
+    predict = make_packed_be_predict(model, state, args.img_size,
+                                     compute_dtype=resolve_dtype(args.dtype))
 
     for manga in sorted(os.listdir(args.path)):
         m_path = os.path.join(args.path, manga)

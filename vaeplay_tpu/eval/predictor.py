@@ -71,3 +71,28 @@ class BucketedPredictor:
         return {
             k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
         }
+
+
+def make_packed_be_predict(model, state, img_size: int, max_batch: int = 32,
+                           compute_dtype=None) -> Callable:
+    """Bucketed BE/BE_GAN serve predictor over the bit-packed eval step.
+
+    The manga paste routes consume 0.5-thresholded masks (eval/manga.py), so
+    the device ships 1 bit/pixel instead of 4 bytes — 32× less tunnel
+    traffic, which dominates page serve latency on a tunnel-attached host.
+    Returns `predict(imgs) -> {"masks", "edges"}` as (B, S, S, 1) float32
+    {0, 1} maps — drop-in for the probability predictor, since downstream
+    thresholding of an already-binary map is the identity.
+    """
+    from vaeplay_tpu.train.steps_be import make_be_eval_step_packed
+    from vaeplay_tpu.train.steps_bc import unpack_mask_bits
+
+    bucketed = BucketedPredictor(
+        make_be_eval_step_packed(model, compute_dtype), state, max_batch)
+
+    def predict(imgs) -> Dict[str, np.ndarray]:
+        out = bucketed(imgs)
+        return {k: unpack_mask_bits(v, img_size)[..., None]
+                for k, v in out.items()}
+
+    return predict

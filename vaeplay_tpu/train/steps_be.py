@@ -63,3 +63,38 @@ def make_be_eval_step(model):
         }
 
     return eval_step
+
+
+def make_be_eval_step_packed(model, compute_dtype=None):
+    """Serving variant of make_be_eval_step: jit (state, imgs) → bit-packed
+    0.5-thresholded masks/edges, (B, S, ceil(S/8)) uint8 each.
+
+    Both manga paste routes threshold the sigmoid maps at 0.5 immediately
+    (eval/manga.py paste_result_on_manga / paste_edge_result_on_manga, per
+    reference test_BE_manga.py:77-78,186), so shipping f32 probabilities
+    wastes 32× device→host bandwidth — on a tunnel-attached host (~50 MB/s)
+    the fetch dominates the whole serve pipeline.  The threshold is exact:
+    sigmoid(x) ≥ 0.5 ⟺ x ≥ 0, so the device compares logits against zero
+    (no sigmoid) and packs bits along W in np.unpackbits layout
+    (models/bc.pack_mask_bits); unpack with steps_bc.unpack_mask_bits.
+
+    compute_dtype=bfloat16 casts params + activations for the forward; the
+    zero-threshold is insensitive to bf16 rounding except at borderline
+    logits (same contract as BC's bridge mask)."""
+    from vaeplay_tpu.models.bc import pack_mask_bits
+    from vaeplay_tpu.utils.amp import to_compute
+
+    @jax.jit
+    def eval_step(state: TrainState, imgs):
+        variables = {"params": to_compute(state.params, compute_dtype),
+                     "batch_stats": to_compute(state.batch_stats, compute_dtype)}
+        if state.constants:
+            variables["constants"] = to_compute(state.constants, compute_dtype)
+        preds = model.apply(variables, to_compute(imgs, compute_dtype),
+                            train=False)
+        return {
+            "edges": pack_mask_bits((preds["edges"][..., 0] >= 0).astype(jnp.uint8)),
+            "masks": pack_mask_bits((preds["masks"][..., 0] >= 0).astype(jnp.uint8)),
+        }
+
+    return eval_step
