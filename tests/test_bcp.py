@@ -86,6 +86,98 @@ def test_bcp_gan_step(bcp_state):
     assert np.abs(d_after - d_before).max() > 0
 
 
+def test_shared_vjp_step_matches_two_pass(bcp_state):
+    """The fused step linearizes G once (jax.vjp) and reuses the forward for
+    both the D phase's fake targets and the G phase's pullback — the
+    reference recomputes an identical forward (train_BCP.py:71,96, G params
+    unchanged in between).  Assert identical updated params vs the literal
+    two-forward form.  SGD(1.0) states make the comparison a direct gradient
+    check (see test_style_gan.py for the rationale)."""
+    import optax
+
+    from vaeplay_tpu.models.bcp import VALUE_WEIGHT
+    from vaeplay_tpu.ops import losses as L
+
+    g_model, d_model, gs_adam = bcp_state
+    sgd = optax.sgd(1.0)
+    gs = GanState(
+        g=TrainState.create(g_model.apply, gs_adam.g.params, None, sgd),
+        d=TrainState.create(d_model.apply, gs_adam.d.params, None, sgd),
+    )
+    ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
+    b = ds.sample_batch(2)
+    args = (jnp.asarray(b["imgs"]), jnp.asarray(b["labels"]),
+            jnp.asarray(b["points"]), jnp.asarray(b["pmask"]))
+
+    step = make_bcp_train_step(g_model, d_model)
+    got, _ = step(gs, *args)
+
+    @jax.jit
+    def literal_step(gs, imgs, labels, points, pmask):
+        g, d = gs.g, gs.d
+        counts = jnp.sum(pmask, axis=1).astype(jnp.int32)
+        contours = points[..., :2] * pmask[..., None]
+        valid3 = pmask[..., None]
+
+        def g_fwd(g_params):
+            return g_model.apply({"params": g_params}, imgs, contours,
+                                 counts, train=True)
+
+        preds = g_fwd(g.params)
+        fake_targets = jax.lax.stop_gradient(jnp.concatenate(
+            [contours * VALUE_WEIGHT, preds["target_pts"]], axis=-1) * valid3)
+        real_targets = points[..., :4] * VALUE_WEIGHT * valid3
+
+        def d_loss_fn(d_params):
+            r = d_model.apply({"params": d_params}, imgs, real_targets,
+                              train=True)
+            f = d_model.apply({"params": d_params}, imgs, fake_targets,
+                              train=True)
+            return 0.5 * (jnp.mean(L.bce(r, jnp.ones_like(r), eps=1e-12))
+                          + jnp.mean(L.bce(f, jnp.zeros_like(f), eps=1e-12)))
+
+        d = d.apply_gradients(jax.grad(d_loss_fn)(d.params))
+
+        def g_loss_fn(g_params):
+            preds = g_fwd(g_params)                       # fresh 2nd forward
+            loss_class = jnp.mean(
+                L.softmax_cross_entropy(preds["classes"], labels))
+            freq_pred = preds["target_frequency"]
+            ft = (points[..., 4] > 0.1) & (pmask > 0)
+            nt = (points[..., 4] <= 0.1) & (pmask > 0)
+            loss_f1 = L.masked_mean(jnp.abs(freq_pred - 1.0), ft)
+            loss_f0 = jnp.where(
+                jnp.sum(nt) > 0,
+                jnp.sum(jnp.abs(freq_pred) * nt) / jnp.maximum(jnp.sum(ft), 1),
+                0.0)
+            gt_off = points[..., 2:4] * VALUE_WEIGHT
+            diff = jnp.abs(preds["target_pts"] - gt_off)
+            loss_total = L.masked_mean(diff, pmask[..., None])
+            key = (points[..., 5] > 0.9) & (pmask > 0)
+            loss_key = (jnp.sum(jnp.sum(diff, axis=-1) * key)
+                        / jnp.maximum(jnp.sum(key), 1))
+            fake = jnp.concatenate(
+                [contours * VALUE_WEIGHT, preds["target_pts"]], axis=-1
+            ) * valid3
+            adv = d_model.apply({"params": d.params}, imgs, fake, train=True)
+            g_adv = jnp.mean(L.bce(adv, jnp.ones_like(adv), eps=1e-12))
+            return (loss_class + (loss_f1 + loss_f0) * 4.0
+                    + loss_total * 10.0 + loss_key * 6.0 + g_adv)
+
+        g = g.apply_gradients(jax.grad(g_loss_fn)(g.params))
+        return GanState(g=g, d=d)
+
+    want = literal_step(gs, *args)
+    for name, a, b_ in (("g", got.g.params, want.g.params),
+                        ("d", got.d.params, want.d.params)):
+        for (ka, va), (kb, vb) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b_)):
+            np.testing.assert_allclose(
+                np.asarray(va), np.asarray(vb), rtol=2e-5, atol=2e-6,
+                err_msg=f"{name}:{jax.tree_util.keystr(ka)}")
+
+
 def test_eval_contour_extraction():
     ds = SyntheticBCPDataset(img_size=IMG, max_points=P)
     b = ds.sample_batch(2)

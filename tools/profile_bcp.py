@@ -200,12 +200,14 @@ def main():
                        label="Discriminator fwd+bwd")
 
     if not only or "gather" in only:
-        feat = jnp.zeros((BS, IMG // 4, IMG // 4, 128), CDT)
+        # timed_scan donates its carry — build a fresh feat per variant
         grid = jnp.asarray(b["points"][..., :2], CDT)
         gather_fwd_bwd(lambda f, g: grid_sample(f, g, align_corners=False),
-                       feat, grid, label="grid_sample 2048pt fwd+bwd (scatter)")
+                       jnp.zeros((BS, IMG // 4, IMG // 4, 128), CDT),
+                       grid, label="grid_sample 2048pt fwd+bwd (scatter)")
         gather_fwd_bwd(lambda f, g: point_sample_ng(f, g, False, "bilinear"),
-                       feat, grid, label="point_sample_ng 2048pt fwd+bwd (dense)")
+                       jnp.zeros((BS, IMG // 4, IMG // 4, 128), CDT),
+                       grid, label="point_sample_ng 2048pt fwd+bwd (dense)")
 
 
 if __name__ == "__main__":
