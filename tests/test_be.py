@@ -120,3 +120,30 @@ def test_packed_predict_buckets_and_slices(be_state):
     assert out5["masks"].shape == (5, 64, 64, 1)
     out1 = make_packed_be_predict(model, state, 64)(imgs[:1])
     np.testing.assert_array_equal(out5["masks"][:1], out1["masks"])
+
+
+def test_frozen_gradient_cut_preserves_updates(be_state, monkeypatch):
+    """stop_frozen_gradients (train/state.py) must change no parameter
+    update: the optimizer mask already zeroes the frozen conv1/layer1 grads,
+    the cut only lets XLA dead-code their backward."""
+    import vaeplay_tpu.train.steps_be as steps_be
+
+    model, state = be_state
+    ds = SyntheticBubbleDataset(img_size=64)
+    batch = ds.sample_batch(2)
+    imgs = jnp.asarray(batch["imgs"])
+    bimgs = jnp.asarray(batch["bimgs"])
+    eimgs = jnp.asarray(batch["eimgs"])
+
+    step_cut = steps_be.make_be_train_step(model)
+    with monkeypatch.context() as m:
+        m.setattr(steps_be, "stop_frozen_gradients", lambda p: p)
+        step_nocut = steps_be.make_be_train_step(model)
+
+    s1, m1 = step_cut(state, imgs, bimgs, eimgs)
+    s2, m2 = step_nocut(state, imgs, bimgs, eimgs)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(m1["loss_mask"]), float(m2["loss_mask"]),
+                               rtol=0, atol=0)

@@ -104,3 +104,58 @@ def test_paste_noframe_uses_dilated_box(synthetic_page):
     # the NoFrame bubble (label 3) must still paint via its dilated box
     painted = (out[:, :, 1] == 3)
     assert painted.sum() > 100
+
+
+def test_serve_pages_matches_sequential(synthetic_page, tmp_path_factory):
+    """The pipelined walker (eval/serve.py) must write byte-identical pages
+    to the sequential per-page path, for both the annotation route and the
+    connected-components mask route."""
+    from vaeplay_tpu.cli.test_be_manga import process_page
+    from vaeplay_tpu.eval.serve import PageJob, serve_pages
+
+    img_path, mask_path, anno_path, _ = synthetic_page
+    rng = np.random.default_rng(0)
+
+    def predict(imgs):
+        n = imgs.shape[0]
+        r = np.random.default_rng(n)  # deterministic per batch shape
+        return {"masks": (r.uniform(0, 1, (n, 64, 64, 1)) > 0.4).astype(np.float32),
+                "edges": (r.uniform(0, 1, (n, 64, 64, 1)) > 0.6).astype(np.float32)}
+
+    jobs = [
+        PageJob(img_path, anno_path, None, "anno_route"),
+        PageJob(img_path, None, mask_path, "mask_route"),
+        PageJob(img_path, anno_path, None, "anno_route_2"),
+    ]
+    seq_dir = str(tmp_path_factory.mktemp("seq"))
+    pipe_dir = str(tmp_path_factory.mktemp("pipe"))
+    for j in jobs:
+        process_page(predict, j.img_path, j.anno_path, j.mask_path, 64,
+                     seq_dir, j.name)
+    n = serve_pages(predict, jobs, 64, pipe_dir, verbose=False)
+    assert n == len(jobs)
+    for j in jobs:
+        a = np.asarray(Image.open(os.path.join(seq_dir, f"{j.name}.png")))
+        b = np.asarray(Image.open(os.path.join(pipe_dir, f"{j.name}.png")))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_serve_pages_skips_bad_pages(synthetic_page, tmp_path_factory):
+    from vaeplay_tpu.eval.serve import PageJob, serve_pages
+
+    img_path, mask_path, anno_path, _ = synthetic_page
+
+    def predict(imgs):
+        n = imgs.shape[0]
+        return {"masks": np.ones((n, 64, 64, 1), np.float32),
+                "edges": np.zeros((n, 64, 64, 1), np.float32)}
+
+    out = str(tmp_path_factory.mktemp("skip"))
+    jobs = [
+        PageJob("/nonexistent/page.png", anno_path, None, "bad"),
+        PageJob(img_path, anno_path, None, "good"),
+    ]
+    n = serve_pages(predict, jobs, 64, out, verbose=False)
+    assert n == 1
+    assert os.path.exists(os.path.join(out, "good.png"))
+    assert not os.path.exists(os.path.join(out, "bad.png"))

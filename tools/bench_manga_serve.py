@@ -76,9 +76,9 @@ def main():
     ap.add_argument("--max_bubbles", type=int, default=9)
     args = ap.parse_args()
 
-    from vaeplay_tpu.cli.test_be_manga import process_page
     from vaeplay_tpu.cli.test_be import load_be_state
     from vaeplay_tpu.eval.predictor import make_packed_be_predict, next_bucket
+    from vaeplay_tpu.eval.serve import PageJob, serve_pages
     import jax.numpy as jnp
 
     root = tempfile.mkdtemp(prefix="manga_bench_")
@@ -93,14 +93,17 @@ def main():
         os.makedirs(res)
 
         def walk(res_dir):
+            # the CLI's production path: pipelined predict-vs-host overlap
             page_dir = os.path.join(pages, "MangaA", "ep1", "ch1",
                                     "OriginSizeManga")
             anno_dir = os.path.join(annos, "MangaA", "ep1", "ch1")
-            for pf in sorted(os.listdir(page_dir)):
-                stem = pf.split(".")[0]
-                process_page(predict, os.path.join(page_dir, pf),
-                             os.path.join(anno_dir, f"{stem}.json"), None,
-                             args.img_size, res_dir, stem)
+            jobs = [
+                PageJob(os.path.join(page_dir, pf),
+                        os.path.join(anno_dir, pf.split(".")[0] + ".json"),
+                        None, pf.split(".")[0])
+                for pf in sorted(os.listdir(page_dir))
+            ]
+            serve_pages(predict, jobs, args.img_size, res_dir, verbose=False)
 
         # warmup pass: compiles every bucket the workload will touch
         buckets = sorted({next_bucket(1 + p % args.max_bubbles, 32)

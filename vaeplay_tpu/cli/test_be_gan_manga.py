@@ -8,8 +8,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from vaeplay_tpu.cli.test_be_manga import process_page
 from vaeplay_tpu.eval.predictor import make_packed_be_predict
+from vaeplay_tpu.eval.serve import PageJob, serve_pages
 from vaeplay_tpu.models.be_gan import ComposeNet
 from vaeplay_tpu.train.checkpoint import Checkpointer
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
@@ -51,6 +51,7 @@ def main(argv=None):
     predict = make_packed_be_predict(model, state, args.img_size,
                                      compute_dtype=resolve_dtype(args.dtype))
 
+    jobs = []
     for manga in sorted(os.listdir(args.path)):
         m_path = os.path.join(args.path, manga)
         if not os.path.isdir(m_path):
@@ -66,13 +67,9 @@ def main(argv=None):
                                         f"{stem}.json")
                     if not os.path.exists(anno):
                         continue
-                    try:
-                        process_page(predict,
-                                     os.path.join(c_path, pagef), anno, None,
-                                     args.img_size, args.res_output,
-                                     f"{manga}_{epi}_{chapter}_{stem}")
-                    except Exception as e:
-                        print(f"skip {pagef}: {e}")
+                    jobs.append(PageJob(os.path.join(c_path, pagef), anno,
+                                        None, f"{manga}_{epi}_{chapter}_{stem}"))
+    serve_pages(predict, jobs, args.img_size, args.res_output)
 
 
 if __name__ == "__main__":

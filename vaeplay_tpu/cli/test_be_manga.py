@@ -8,14 +8,9 @@ TPU, and pastes results back at page resolution (eval/manga.py).
 import argparse
 import os
 
-import numpy as np
-
 from vaeplay_tpu.cli.test_be import load_be_state
-from vaeplay_tpu.eval.manga import (
-    load_manga_from_annotation, load_manga_from_mask,
-    paste_edge_result_on_manga, paste_result_on_manga,
-)
 from vaeplay_tpu.eval.predictor import make_packed_be_predict
+from vaeplay_tpu.eval.serve import PageJob, load_page, paste_page, serve_pages
 from vaeplay_tpu.utils.amp import resolve_dtype
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -30,24 +25,17 @@ def process_page(predict, img_path, anno_path, mask_path,
     `predict` maps (B, H, W, 3) images → dict of np arrays; pass a
     `eval.predictor.BucketedPredictor` so the varying bubbles-per-page batch
     size maps onto a handful of padded bucket shapes instead of one XLA
-    compile per distinct count."""
-    if anno_path:
-        page = load_manga_from_annotation(img_path, anno_path, img_size)
-    else:
-        page = load_manga_from_mask(img_path, mask_path, img_size)
+    compile per distinct count.
+
+    Sequential single-page form; the CLI walker itself goes through
+    `eval.serve.serve_pages`, which pipelines the device predict against the
+    host load/paste of neighboring pages (same per-page results)."""
+    job = PageJob(img_path, anno_path, mask_path, name)
+    page = load_page(job, img_size)
     if page["images"].shape[0] == 0:
         print(f"{name}: no bubbles found")
         return
-    preds = predict(page["images"])
-    if anno_path:
-        paste_result_on_manga(
-            img_path, page, np.asarray(preds["masks"]),
-            np.asarray(preds["edges"]), res_output, name,
-        )
-    else:
-        paste_edge_result_on_manga(
-            img_path, page, np.asarray(preds["edges"]), res_output, name,
-        )
+    paste_page(job, page, predict(page["images"]), res_output)
     print(f"{name}: {page['images'].shape[0]} bubbles → {res_output}/{name}.png")
 
 
@@ -79,6 +67,7 @@ def main(argv=None):
     predict = make_packed_be_predict(model, state, args.img_size,
                                      compute_dtype=resolve_dtype(args.dtype))
 
+    jobs = []
     for manga in sorted(os.listdir(args.path)):
         m_path = os.path.join(args.path, manga)
         if not os.path.isdir(m_path):
@@ -106,12 +95,9 @@ def main(argv=None):
                         mask = cand if os.path.exists(cand) else None
                         if mask is None:
                             continue
-                    try:
-                        process_page(predict, img_path, anno, mask,
-                                     args.img_size, args.res_output,
-                                     f"{manga}_{epi}_{chapter}_{stem}")
-                    except Exception as e:  # skip bad pages (test_BE_manga.py:460)
-                        print(f"skip {img_path}: {e}")
+                    jobs.append(PageJob(img_path, anno, mask,
+                                        f"{manga}_{epi}_{chapter}_{stem}"))
+    serve_pages(predict, jobs, args.img_size, args.res_output)
 
 
 if __name__ == "__main__":

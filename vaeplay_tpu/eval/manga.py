@@ -147,11 +147,17 @@ def paste_result_on_manga(
     of the prediction (test_BE_manga.py:63-158).  The reference stacks
     [edge, class, content] and writes through cv2 (BGR), so the file on disk
     has content in RED and edge in BLUE — we stack [content, class, edge] and
-    save through PIL (RGB) to produce the identical file, which is what
+    save through PIL (RGB) to produce the pixel-identical file, which is what
     load_manga_from_mask's red-channel read expects.  Returns the file-RGB
-    array."""
-    img = np.asarray(Image.open(img_path).convert("RGB"))
-    h, w = img.shape[:2]
+    array.
+
+    All per-bubble work is confined to the bubble's box region (the merge
+    planes are zero everywhere else, so the restriction is exact); the page
+    image is never decoded — only its header is read for the dimensions.
+    Both cut the host paste cost, which dominates page-serve latency
+    (BENCH_FAMILIES.md serving notes)."""
+    with Image.open(img_path) as im:
+        w, h = im.size  # header-only; reference reads the array just for h, w
     pred_masks = (pred_masks[..., 0] >= 0.5).astype(np.float32)
     pred_edges = (pred_edges[..., 0] >= 0.5).astype(np.float32)
     result = np.zeros((h, w, 3), np.uint8)
@@ -161,21 +167,17 @@ def paste_result_on_manga(
     recon = page["recon_info"]
     orig_boxes = page.get("original_boxes")
     for i in range(len(boxes)):
-        merge_edge = np.zeros((h, w), np.float32)
-        merge_bubble = np.zeros((h, w), np.float32)
         ax, ay, size = (int(v) for v in recon[i])
         xmin, ymin, xmax, ymax = (int(v) for v in boxes[i])
         bw, bh = xmax - xmin, ymax - ymin
         if labels[i] != 3:
-            tmp_e = _resize_nearest(pred_edges[i], size)
-            tmp_m = _resize_nearest(pred_masks[i], size)
-            merge_edge[ymin:ymax, xmin:xmax] = tmp_e[ay:ay + bh, ax:ax + bw]
-            merge_bubble[ymin:ymax, xmin:xmax] = tmp_m[ay:ay + bh, ax:ax + bw]
+            e_box = _resize_nearest(pred_edges[i], size)[ay:ay + bh, ax:ax + bw]
+            b_box = _resize_nearest(pred_masks[i], size)[ay:ay + bh, ax:ax + bw]
         elif orig_boxes is None:
             tmp = page["masks"][i][ymin:ymax, xmin:xmax].astype(np.float32)
             dil = np.clip(_dilate(tmp, kernel_size), 0, 1)
-            merge_edge[ymin:ymax, xmin:xmax] = dil - tmp
-            merge_bubble[ymin:ymax, xmin:xmax] = tmp
+            e_box = dil - tmp
+            b_box = tmp
         else:
             oxmin, oymin, oxmax, oymax = (int(v) for v in orig_boxes[i])
             oxmin, oymin = ax + oxmin - xmin, ay + oymin - ymin
@@ -183,24 +185,25 @@ def paste_result_on_manga(
             tmp = np.zeros((size, size), np.float32)
             tmp[oymin:oymax, oxmin:oxmax] = 1.0
             dil = np.clip(_dilate(tmp, kernel_size), 0, 1)
-            merge_edge[ymin:ymax, xmin:xmax] = (dil - tmp)[ay:ay + bh, ax:ax + bw]
-            merge_bubble[ymin:ymax, xmin:xmax] = tmp[ay:ay + bh, ax:ax + bw]
-        me = merge_edge.astype(bool)
-        mb = merge_bubble.astype(bool)
+            e_box = (dil - tmp)[ay:ay + bh, ax:ax + bw]
+            b_box = tmp[ay:ay + bh, ax:ax + bw]
+        me = e_box.astype(bool)
+        mb = b_box.astype(bool)
+        ck = check[ymin:ymax, xmin:xmax]
         me = me & ~mb          # content wins over edge
-        me = me & ~check       # occupancy dedupe
-        mb = mb & ~check
+        me = me & ~ck          # occupancy dedupe
+        mb = mb & ~ck
         total = me | mb
-        check |= total
-        rgb = np.stack([
+        check[ymin:ymax, xmin:xmax] |= total
+        result[ymin:ymax, xmin:xmax] += np.stack([
             mb.astype(np.uint8) * 255,
             total.astype(np.uint8) * int(labels[i]),
             me.astype(np.uint8) * 255,
         ], axis=-1)
-        result = result + rgb
     result[~check] = 255
     makedirs(result_path)
-    Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"))
+    Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"),
+                                 compress_level=1)
     return result
 
 
@@ -217,42 +220,41 @@ def paste_edge_result_on_manga(
     the provided coarse connected-component mask (full-page coordinates);
     NoFrame bubbles (label 3) use the dilated coarse mask for both.  Same
     occupancy dedupe and on-disk channel contract (file-RGB = content, class,
-    edge — see paste_result_on_manga)."""
-    img = Image.open(img_path)
-    w, h = img.size
+    edge — see paste_result_on_manga).  Per-bubble work is box-restricted
+    exactly as in paste_result_on_manga."""
+    with Image.open(img_path) as im:
+        w, h = im.size
     pred_edges = (pred_edges[..., 0] >= 0.5).astype(np.float32)
     result = np.zeros((h, w, 3), np.uint8)
     check = np.zeros((h, w), bool)
     boxes, labels, recon = page["boxes"], page["labels"], page["recon_info"]
     for i in range(len(boxes)):
-        merge_edge = np.zeros((h, w), np.float32)
-        merge_bubble = np.zeros((h, w), np.float32)
         ax, ay, size = (int(v) for v in recon[i])
         xmin, ymin, xmax, ymax = (int(v) for v in boxes[i])
         bw, bh = xmax - xmin, ymax - ymin
-        comp = page["masks"][i].astype(np.float32)
+        comp = page["masks"][i][ymin:ymax, xmin:xmax].astype(np.float32)
         if labels[i] != 3:
-            tmp_e = _resize_nearest(pred_edges[i], size)
-            merge_edge[ymin:ymax, xmin:xmax] = tmp_e[ay:ay + bh, ax:ax + bw]
-            merge_bubble[ymin:ymax, xmin:xmax] = comp[ymin:ymax, xmin:xmax]
+            e_box = _resize_nearest(pred_edges[i], size)[ay:ay + bh, ax:ax + bw]
+            b_box = comp
         else:
-            tmp = comp[ymin:ymax, xmin:xmax]
-            dil = np.clip(_dilate(tmp, kernel_size), 0, 1)
-            merge_edge[ymin:ymax, xmin:xmax] = dil - tmp
-            merge_bubble[ymin:ymax, xmin:xmax] = tmp
-        me = merge_edge.astype(bool)
-        mb = merge_bubble.astype(bool)
+            dil = np.clip(_dilate(comp, kernel_size), 0, 1)
+            e_box = dil - comp
+            b_box = comp
+        me = e_box.astype(bool)
+        mb = b_box.astype(bool)
+        ck = check[ymin:ymax, xmin:xmax]
         me = me & ~mb
-        me = me & ~check
-        mb = mb & ~check
+        me = me & ~ck
+        mb = mb & ~ck
         total = me | mb
-        check |= total
-        result = result + np.stack([
+        check[ymin:ymax, xmin:xmax] |= total
+        result[ymin:ymax, xmin:xmax] += np.stack([
             mb.astype(np.uint8) * 255,
             total.astype(np.uint8) * int(labels[i]),
             me.astype(np.uint8) * 255,
         ], axis=-1)
     result[~check] = 255
     makedirs(result_path)
-    Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"))
+    Image.fromarray(result).save(os.path.join(result_path, f"{result_name}.png"),
+                                 compress_level=1)
     return result

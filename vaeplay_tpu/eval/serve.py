@@ -1,0 +1,96 @@
+"""Pipelined manga-page serving — the production form of the reference's
+page loop (test_BE_manga.py:414-462, which is strictly sequential: load →
+predict → paste per page).
+
+On a tunnel-attached TPU the device predict (dispatch + bit-packed fetch)
+costs a few hundred ms of latency that the reference's sequential loop pays
+on the critical path.  `serve_pages` runs a 2-deep software pipeline: the
+predict for page i executes on a single dedicated dispatch thread while the
+host CPU pastes page i-1 and loads page i+1, so the device/tunnel time hides
+behind host image work (and vice versa).  Exactly one device request is ever
+in flight, and all device calls happen on the one dispatch thread — the
+ordering the axon runtime is safe under (CLAUDE.md: one TPU program stream).
+
+Page results are identical to the sequential loop's: pages are independent
+(per-sample model, per-page paste), so only wall-clock changes.
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, NamedTuple, Optional, Sequence
+
+from vaeplay_tpu.eval.manga import (
+    load_manga_from_annotation, load_manga_from_mask,
+    paste_edge_result_on_manga, paste_result_on_manga,
+)
+
+
+class PageJob(NamedTuple):
+    """One page to serve.  `anno_path` selects the labelme-annotation route
+    (ref main_annotation, test_BE_manga.py:414-462); otherwise `mask_path`
+    selects the connected-components mask route (ref main_mask :373-412)."""
+    img_path: str
+    anno_path: Optional[str]
+    mask_path: Optional[str]
+    name: str
+
+
+def load_page(job: PageJob, img_size: int) -> Dict:
+    if job.anno_path:
+        return load_manga_from_annotation(job.img_path, job.anno_path, img_size)
+    return load_manga_from_mask(job.img_path, job.mask_path, img_size)
+
+
+def paste_page(job: PageJob, page: Dict, preds: Dict, res_output: str):
+    import numpy as np
+
+    if job.anno_path:
+        paste_result_on_manga(
+            job.img_path, page, np.asarray(preds["masks"]),
+            np.asarray(preds["edges"]), res_output, job.name)
+    else:
+        paste_edge_result_on_manga(
+            job.img_path, page, np.asarray(preds["edges"]), res_output,
+            job.name)
+
+
+def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
+                res_output: str, verbose: bool = True) -> int:
+    """Run every job through load → predict → paste with the predict stage
+    pipelined on a dispatch thread.  Bad pages are skipped with a message
+    (reference blanket-except, test_BE_manga.py:460-461).  Returns the number
+    of pages written."""
+    n_done = 0
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None  # (job, page, future) for the page whose predict is in flight
+
+        def flush(p):
+            nonlocal n_done
+            job, page, fut = p
+            try:
+                paste_page(job, page, fut.result(), res_output)
+                n_done += 1
+                if verbose:
+                    print(f"{job.name}: {page['images'].shape[0]} bubbles → "
+                          f"{os.path.join(res_output, job.name)}.png")
+            except Exception as e:  # skip bad pages (test_BE_manga.py:460)
+                print(f"skip {job.img_path}: {e}")
+
+        for job in jobs:
+            try:
+                page = load_page(job, img_size)
+            except Exception as e:
+                print(f"skip {job.img_path}: {e}")
+                continue
+            if page["images"].shape[0] == 0:
+                if verbose:
+                    print(f"{job.name}: no bubbles found")
+                continue
+            fut = pool.submit(predict, page["images"])
+            if pending is not None:
+                flush(pending)  # host paste of page i-1 overlaps predict of page i
+            pending = (job, page, fut)
+        if pending is not None:
+            flush(pending)
+    return n_done

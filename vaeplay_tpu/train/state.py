@@ -93,22 +93,48 @@ def path_labeled_transform(
     return optax.multi_transform(dict(group_txs), label_tree)
 
 
+def _is_frozen_backbone_path(parts) -> bool:
+    """torchvision resnet_fpn_backbone trainable_layers=3 rule: the stem
+    ("conv1") and "layer1" under the backbone body are frozen."""
+    if "body" in parts:
+        i = parts.index("body")
+        nxt = parts[i + 1] if i + 1 < len(parts) else ""
+        return nxt == "conv1" or nxt.startswith("layer1_")
+    return False
+
+
 def frozen_backbone_adam(lr: float, frozen_prefixes=("backbone", "body")) -> optax.GradientTransformation:
     """Adam everywhere except params whose path contains the torchvision
     frozen stem ("conv1"/"bn1") or "layer1" under the backbone body."""
 
     def label(path: tuple) -> str:
         parts = [str(p) for p in path]
-        if "body" in parts:
-            i = parts.index("body")
-            nxt = parts[i + 1] if i + 1 < len(parts) else ""
-            if nxt == "conv1" or nxt.startswith("layer1_"):
-                return "frozen"
-        return "train"
+        return "frozen" if _is_frozen_backbone_path(parts) else "train"
 
     return path_labeled_transform(
         label, {"train": torch_adam(lr), "frozen": optax.set_to_zero()}, None
     )
+
+
+def stop_frozen_gradients(params):
+    """stop_gradient over the torchvision-frozen backbone subtrees (the same
+    paths frozen_backbone_adam maps to set_to_zero).
+
+    The optimizer mask already discards those gradients, so cutting them at
+    the apply boundary changes no update — but it lets XLA dead-code both the
+    frozen weight-gradient computations AND the activation backprop through
+    conv1/layer1 (nothing upstream of the stem is differentiated), which run
+    at the backbone's highest spatial resolutions.  Call INSIDE the loss
+    function, on the traced params."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {
+        k: (jax.lax.stop_gradient(v)
+            if _is_frozen_backbone_path([str(p) for p in k]) else v)
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(out)
 
 
 def grouped_transform(group_txs: Mapping[str, optax.GradientTransformation], params) -> optax.GradientTransformation:

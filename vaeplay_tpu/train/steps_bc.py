@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.ops import losses as L
-from vaeplay_tpu.train.state import TrainState
+from vaeplay_tpu.train.state import TrainState, stop_frozen_gradients
 
 
 def make_bc_train_step(model, max_points: int = 256, external_contours: bool = False,
@@ -33,6 +33,8 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
 
     def loss_fn(params, batch_stats, constants, imgs, contours, bimgs, eimgs,
                 tgt_pts, tgt_mask, key_pts, key_mask):
+        # frozen-stem gradient cut — see state.stop_frozen_gradients
+        params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:

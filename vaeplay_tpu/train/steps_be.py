@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from vaeplay_tpu.ops import losses as L
-from vaeplay_tpu.train.state import TrainState
+from vaeplay_tpu.train.state import TrainState, stop_frozen_gradients
 
 
 def make_be_train_step(model, compute_dtype=None):
@@ -23,6 +23,10 @@ def make_be_train_step(model, compute_dtype=None):
     from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
 
     def loss_fn(params, batch_stats, constants, imgs, bimgs, eimgs):
+        # cut gradients at the torchvision-frozen stem/layer1 so XLA
+        # dead-codes their backward (the optimizer mask already zeroes the
+        # updates — numerics unchanged, see state.stop_frozen_gradients)
+        params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from vaeplay_tpu.ops import losses as L
-from vaeplay_tpu.train.state import TrainState
+from vaeplay_tpu.train.state import TrainState, stop_frozen_gradients
 
 
 class GanState(struct.PyTreeNode):
@@ -51,6 +51,10 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
         return merge_batch_stats(master, mutated, compute_dtype)
 
     def g_apply(params, batch_stats, constants, imgs):
+        # frozen-stem gradient cut (state.stop_frozen_gradients): the
+        # optimizer mask already zeroes conv1/layer1 updates, this lets XLA
+        # dead-code their backward in the G phase (no-op in the D phase)
+        params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:
