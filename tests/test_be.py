@@ -139,9 +139,12 @@ def test_frozen_gradient_cut_preserves_updates(be_state, monkeypatch):
     with monkeypatch.context() as m:
         m.setattr(steps_be, "stop_frozen_gradients", lambda p: p)
         step_nocut = steps_be.make_be_train_step(model)
+        # jit traces at the first CALL — invoke inside the patch context so
+        # the no-cut variant actually traces with the identity stand-in
+        # (round-2 ADVICE: calling it after the context compared cut vs cut)
+        s2, m2 = step_nocut(state, imgs, bimgs, eimgs)
 
     s1, m1 = step_cut(state, imgs, bimgs, eimgs)
-    s2, m2 = step_nocut(state, imgs, bimgs, eimgs)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -133,7 +133,8 @@ def test_serve_pages_matches_sequential(synthetic_page, tmp_path_factory):
         process_page(predict, j.img_path, j.anno_path, j.mask_path, 64,
                      seq_dir, j.name)
     n = serve_pages(predict, jobs, 64, pipe_dir, verbose=False)
-    assert n == len(jobs)
+    assert n.written == len(jobs)
+    assert (n.empty, n.failed) == (0, 0)
     for j in jobs:
         a = np.asarray(Image.open(os.path.join(seq_dir, f"{j.name}.png")))
         b = np.asarray(Image.open(os.path.join(pipe_dir, f"{j.name}.png")))
@@ -156,6 +157,8 @@ def test_serve_pages_skips_bad_pages(synthetic_page, tmp_path_factory):
         PageJob(img_path, anno_path, None, "good"),
     ]
     n = serve_pages(predict, jobs, 64, out, verbose=False)
-    assert n == 1
+    # the breakdown distinguishes failed pages from empty ones (round-2
+    # ADVICE: the old scalar return conflated them)
+    assert (n.written, n.empty, n.failed) == (1, 0, 1)
     assert os.path.exists(os.path.join(out, "good.png"))
     assert not os.path.exists(os.path.join(out, "bad.png"))

@@ -58,9 +58,10 @@ def test_ring_gradients_match_reference(eight_devices):
 
 def test_point_attention_block_ring_routing(eight_devices):
     """PointSelfAttentionBlock must produce identical values with ring
-    attention enabled (model axis sharded) and disabled."""
+    attention enabled (model axis sharded, via an explicit RingRouting
+    handle) and disabled."""
     from vaeplay_tpu.core.layers import PointSelfAttentionBlock
-    from vaeplay_tpu.ops.attention import configure_ring_attention
+    from vaeplay_tpu.ops.attention import RingRouting
 
     mesh = create_mesh(n_data=1, n_model=8)
     m = PointSelfAttentionBlock()
@@ -68,24 +69,20 @@ def test_point_attention_block_ring_routing(eight_devices):
                     jnp.float32)
     v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     base = m.apply(v, x, train=False)
-    # clear_caches=False: each test (re)traces after configuring, so the
-    # stale-compiled-program hazard the default guards against cannot occur,
-    # and clearing would recompile every cached op for the rest of the suite
-    prev = configure_ring_attention(mesh, min_n=256, clear_caches=False)
-    try:
-        ringed = m.apply(v, x, train=False)
-    finally:
-        configure_ring_attention(**prev, clear_caches=False)
+    m_ring = PointSelfAttentionBlock(ring=RingRouting(mesh, min_n=256))
+    ringed = m_ring.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(ringed), np.asarray(base),
                                atol=2e-4, rtol=2e-4)
 
 
 def test_bcp_forward_sharded_point_attention(eight_devices):
     """BCP forward with the point-attention stack routed through ring
-    attention on a dp2 x cp4 mesh == the unsharded forward (VERDICT item 5)."""
+    attention on a dp2 x cp4 mesh == the unsharded forward (VERDICT item 5).
+    The routing is an explicit RingRouting handle on the model config; the
+    param tree is routing-independent, so the same variables serve both."""
     from vaeplay_tpu.data.bcp_data import SyntheticBCPDataset
     from vaeplay_tpu.models.bcp import ComposeNet
-    from vaeplay_tpu.ops.attention import configure_ring_attention
+    from vaeplay_tpu.ops.attention import RingRouting
     from vaeplay_tpu.utils.jitting import jit_init
 
     img, p = 64, 128
@@ -97,11 +94,9 @@ def test_bcp_forward_sharded_point_attention(eight_devices):
     v = jit_init(model, {"params": jax.random.PRNGKey(0)}, x, cnt, counts)
     base = model.apply(v, x, cnt, counts, train=False)
     mesh = create_mesh(n_data=2, n_model=4)
-    prev = configure_ring_attention(mesh, min_n=64, clear_caches=False)
-    try:
-        ringed = model.apply(v, x, cnt, counts, train=False)
-    finally:
-        configure_ring_attention(**prev, clear_caches=False)
+    model_ring = ComposeNet(image_size=img, pt_size=p, point_attention=True,
+                            ring=RingRouting(mesh, min_n=64))
+    ringed = model_ring.apply(v, x, cnt, counts, train=False)
     np.testing.assert_allclose(np.asarray(ringed["target_pts"]),
                                np.asarray(base["target_pts"]),
                                atol=5e-4, rtol=5e-4)

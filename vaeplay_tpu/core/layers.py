@@ -20,7 +20,7 @@ Reference semantics reproduced (citations into /root/reference):
   Up                   models/blocks.py:129-146 (2x [conv3x3+BN+relu], bilinear x2)
 """
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -249,15 +249,25 @@ class SmallChannelConv3x3S1(nn.Module):
         # Expanded block-space kernel: output subpixel (oy, ox)'s kxk taps at
         # absolute offsets (oy+r-half, ox+t-half) land in neighbor block
         # (di-1, dj-1) at subpixel (py, px).  All other entries are exact
-        # zeros.
-        w = jnp.zeros((3, 3, s, s, c, s, s, f), k.dtype)
+        # zeros.  The placement map is STATIC, so it is materialized as a
+        # constant 0/1 selector contracted with the canonical kernel in one
+        # einsum — building it with s²·k² scatter updates instead (the
+        # previous formulation) made XLA's scatter/gather chains dominate
+        # whole-model compile time (~90 s per head on XLA:CPU).
+        import numpy as _np
+
+        sel = _np.zeros((3, 3, s, s, s, s, ks, ks), _np.float32)
         for oy in range(s):
             for ox in range(s):
                 for r in range(ks):
                     for t in range(ks):
                         di, py = divmod(oy + r - half + s, s)
                         dj, px = divmod(ox + t - half + s, s)
-                        w = w.at[di, dj, py, px, :, oy, ox, :].set(k[r, t])
+                        sel[di, dj, py, px, oy, ox, r, t] = 1.0
+        # sel axes (di, dj, py, px, oy, ox, r, t) × kernel (r, t, c, f)
+        # → w axes (di, dj, py, px, c, oy, ox, f)
+        w = jnp.einsum("ijpqyxrt,rtcf->ijpqcyxf",
+                       jnp.asarray(sel, k.dtype), k)
         w = w.reshape(3, 3, s * s * c, s * s * f)
         dt = jnp.promote_types(z.dtype, k.dtype)
         y = jax.lax.conv_general_dilated(
@@ -319,7 +329,13 @@ class SelfAttentionBlock(nn.Module):
     is scaled by a learned scalar gamma initialised to 0 and added residually.
     The O(N^2) bmm pair runs through ops.attention.spatial_self_attention,
     which dispatches to a Pallas blockwise kernel on TPU.
+
+    `ring`: an optional ops.attention.RingRouting handle — when set (threaded
+    down from the owning model's config) and active for this N, the position
+    axis shards over the mesh's ring (context parallelism).
     """
+
+    ring: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -329,7 +345,8 @@ class SelfAttentionBlock(nn.Module):
         v = ConvBlock(c, 1, name="v")(x, train=train)
         n = h * w
         out = spatial_self_attention(
-            q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, c)
+            q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, c),
+            ring=self.ring,
         ).reshape(b, h, w, c)
         gamma = self.param("gamma", vinit.zeros, (1,))
         return gamma * out + x
@@ -341,7 +358,12 @@ class PointSelfAttentionBlock(nn.Module):
     The reference reuses SelfAttentionBlock on (B, C, N, 1)-shaped tensors for
     contour/ellipse point features (networks_BCP.py:80-84, networks_BP.py:84-88);
     this is the same computation expressed natively on (B, N, C).
+
+    `ring`: optional ops.attention.RingRouting — shards the point axis over
+    the mesh ring when active (the repo's context-parallel path).
     """
+
+    ring: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -350,7 +372,7 @@ class PointSelfAttentionBlock(nn.Module):
         q = ConvBlock(max(c // 8, 1), 1, name="q")(x4, train=train).reshape(b, n, -1)
         k = ConvBlock(max(c // 8, 1), 1, name="k")(x4, train=train).reshape(b, n, -1)
         v = ConvBlock(c, 1, name="v")(x4, train=train).reshape(b, n, c)
-        out = spatial_self_attention(q, k, v)
+        out = spatial_self_attention(q, k, v, ring=self.ring)
         gamma = self.param("gamma", vinit.zeros, (1,))
         return gamma * out + x
 

@@ -54,19 +54,28 @@ def paste_page(job: PageJob, page: Dict, preds: Dict, res_output: str):
             job.name)
 
 
+class ServeStats(NamedTuple):
+    """serve_pages outcome breakdown."""
+    written: int
+    empty: int   # pages that loaded fine but contained no bubbles
+    failed: int  # pages skipped on a load/predict/paste error
+
+
 def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
-                res_output: str, verbose: bool = True) -> int:
+                res_output: str, verbose: bool = True) -> ServeStats:
     """Run every job through load → predict → paste with the predict stage
     pipelined on a dispatch thread.  Bad pages are skipped with a message
-    (reference blanket-except, test_BE_manga.py:460-461).  Returns the number
-    of pages written."""
-    n_done = 0
+    (reference blanket-except, test_BE_manga.py:460-461); empty pages (no
+    bubbles) are counted separately so callers can tell them apart from
+    failures even with verbose=False.  Returns a ServeStats
+    (written, empty, failed) breakdown."""
+    n_done = n_empty = n_failed = 0
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None  # (job, page, future) for the page whose predict is in flight
 
         def flush(p):
-            nonlocal n_done
+            nonlocal n_done, n_failed
             job, page, fut = p
             try:
                 paste_page(job, page, fut.result(), res_output)
@@ -75,15 +84,18 @@ def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
                     print(f"{job.name}: {page['images'].shape[0]} bubbles → "
                           f"{os.path.join(res_output, job.name)}.png")
             except Exception as e:  # skip bad pages (test_BE_manga.py:460)
+                n_failed += 1
                 print(f"skip {job.img_path}: {e}")
 
         for job in jobs:
             try:
                 page = load_page(job, img_size)
             except Exception as e:
+                n_failed += 1
                 print(f"skip {job.img_path}: {e}")
                 continue
             if page["images"].shape[0] == 0:
+                n_empty += 1
                 if verbose:
                     print(f"{job.name}: no bubbles found")
                 continue
@@ -93,4 +105,4 @@ def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
             pending = (job, page, fut)
         if pending is not None:
             flush(pending)
-    return n_done
+    return ServeStats(n_done, n_empty, n_failed)

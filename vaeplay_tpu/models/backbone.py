@@ -83,18 +83,27 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns C2..C5 feature maps (strides 4, 8, 16, 32)."""
+    """Returns C2..C5 feature maps (strides 4, 8, 16, 32).
+
+    `layers`/`base_width` default to the real resnet50 (3,4,6,3)x64; slim
+    configs (e.g. (1,1,1,1)x16) keep the exact 4-stage/stride topology and
+    sharding behavior for dryrun/SPMD-test budgets where only the program
+    STRUCTURE is under test, not the capacity."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        w = self.base_width
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, kernel_init=vinit.conv_kaiming, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = FrozenBatchNorm(w, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool(x, 3, stride=2, padding=1)
         feats = []
         for li, (width, blocks, stride) in enumerate(
-            [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], start=1
+            zip((w, w * 2, w * 4, w * 8), self.layers, (1, 2, 2, 2)), start=1
         ):
             for bi in range(blocks):
                 x = Bottleneck(
@@ -141,13 +150,19 @@ class FPN(nn.Module):
 
 
 class ResNetFPN(nn.Module):
-    """resnet_fpn_backbone('resnet50') equivalent; out_channels = 256."""
+    """resnet_fpn_backbone('resnet50') equivalent; out_channels = 256.
+
+    `layers`/`base_width` select a slim variant (see ResNet50) for
+    dryrun/SPMD tests; defaults are the real resnet50."""
 
     out_channels: int = 256
+    layers: Sequence[int] = (3, 4, 6, 3)
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        feats = ResNet50(name="body")(x)
+        feats = ResNet50(layers=self.layers, base_width=self.base_width,
+                         name="body")(x)
         return FPN(out_channels=self.out_channels, name="fpn")(feats)
 
 

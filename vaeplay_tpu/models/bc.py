@@ -42,9 +42,14 @@ DEFAULT_MAX_POINTS = 256
 
 
 class FeatureNet(nn.Module):
+    # slim variants (see backbone.ResNet50) for dryrun/SPMD-structure tests
+    backbone_layers: tuple = (3, 4, 6, 3)
+    backbone_width: int = 64
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        return ResNetFPN(name="feature")(x)["0"]
+        return ResNetFPN(layers=self.backbone_layers,
+                         base_width=self.backbone_width, name="feature")(x)["0"]
 
 
 class MaskNet(nn.Module):
@@ -124,6 +129,7 @@ class RefineNet(nn.Module):
     max_points: int = DEFAULT_MAX_POINTS
     feat_size: int = 258  # backbone channels + 2 coord channels
     fc_dtype: str = "float32"
+    ring: Optional[object] = None  # ops.attention.RingRouting
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -131,7 +137,7 @@ class RefineNet(nn.Module):
         # torch layout (B, C=points, HW=feat, 1) → NHWC (B, feat, 1, points)
         y = x.transpose(0, 2, 1)[:, :, None, :]
         for i in range(6):
-            y = SelfAttentionBlock(name=f"attn{i}")(y, train=train)
+            y = SelfAttentionBlock(ring=self.ring, name=f"attn{i}")(y, train=train)
         y = y[:, :, 0, :].transpose(0, 2, 1).reshape(b, p * f)
         fc_in = self.max_points * self.feat_size
         dt = jnp.dtype(self.fc_dtype)
@@ -234,14 +240,19 @@ class ComposeNet(nn.Module):
     padding: int = 1
     max_points: int = DEFAULT_MAX_POINTS
     refine_fc_dtype: str = "float32"
+    backbone_layers: tuple = (3, 4, 6, 3)
+    backbone_width: int = 64
+    ring: Optional[object] = None  # ops.attention.RingRouting for RefineNet
 
     def setup(self):
-        self.feature_net = FeatureNet()
+        self.feature_net = FeatureNet(backbone_layers=self.backbone_layers,
+                                      backbone_width=self.backbone_width)
         self.mask_net = MaskNet()
         self.edge_net = EdgeNet()
         # feat_size = backbone out_channels (256) + 2 coord channels
         self.refine_net = RefineNet(max_points=self.max_points, feat_size=258,
-                                    fc_dtype=self.refine_fc_dtype)
+                                    fc_dtype=self.refine_fc_dtype,
+                                    ring=self.ring)
 
     def __call__(
         self, x: jnp.ndarray, train: bool = True, contours=None

@@ -21,7 +21,7 @@ full (B, P) grid and losses mask padding).
 """
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,16 +52,21 @@ class TMPBlock(nn.Module):
 
 
 class ContentEndoer(nn.Module):
-    """Dual towers (plain + instance-norm) concatenated (BCP :37-68)."""
+    """Dual towers (plain + instance-norm) concatenated (BCP :37-68).
+
+    `blocks` < 8 selects a slim variant (same dual-tower/stride topology,
+    fewer TMPBlocks) for dryrun/SPMD-structure tests; default is the
+    reference's 8."""
 
     out_size: int = 128      # reference constant (spatial size at 512px input)
     out_channels: int = 128
+    blocks: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         def tower(bn, prefix):
             y = x
-            for i in range(8):
+            for i in range(self.blocks):
                 y = TMPBlock(64, if_down=i < 2, bn=bn, name=f"{prefix}{i}")(
                     y, train=train)
             return y
@@ -95,13 +100,14 @@ class LinePredictor(nn.Module):
     (networks_BCP.py:122-126, applied at :196) / its dead ValueEncoder
     attention (:70-94).  Off by default to match the reference's shipped
     semantics; when on, the attention runs over the full pt_size axis and —
-    under configure_ring_attention with a model-axis mesh — shards that axis
+    with a RingRouting handle over a model-axis mesh — shards that axis
     across chips (the repo's context-parallel path, SURVEY.md §2.3)."""
 
     image_size: int = 128  # = encoder out_size in the reference ctor call
     pt_size: int = 2048
     in_channels: int = 128
     point_attention: bool = False
+    ring: Optional[Any] = None  # ops.attention.RingRouting (CP over points)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, contours: jnp.ndarray,
@@ -143,7 +149,7 @@ class LinePredictor(nn.Module):
         )                                                    # (B, P, 2C+4)
         if self.point_attention:
             for i in range(3):
-                feat = PointSelfAttentionBlock(name=f"battn{i}")(
+                feat = PointSelfAttentionBlock(ring=self.ring, name=f"battn{i}")(
                     feat, train=train)
         d = feat.shape[-1]
         f = DenseBlock(d, activate="lrelu", name="fh0")(feat)
@@ -162,14 +168,22 @@ class ComposeNet(nn.Module):
     image_size: int = 512
     pt_size: int = 2048
     point_attention: bool = False
+    # ring: explicit context-parallel routing handle for the point-attention
+    # stack (ops.attention.RingRouting); None = never ring.
+    ring: Optional[Any] = None
+    # slim knobs for dryrun/SPMD-structure tests (defaults = reference shape)
+    encoder_blocks: int = 8
+    encoder_out_size: int = 128
 
     def setup(self):
-        self.encoder = ContentEndoer()
+        self.encoder = ContentEndoer(out_size=self.encoder_out_size,
+                                     blocks=self.encoder_blocks)
         self.cls_classifier = ClassPredictor(in_size=self.encoder.out_size)
         self.line_predictor = LinePredictor(
             image_size=self.encoder.out_size, pt_size=self.pt_size,
             in_channels=self.encoder.out_channels,
             point_attention=self.point_attention,
+            ring=self.ring,
         )
 
     def __call__(self, x: jnp.ndarray, contours: jnp.ndarray,

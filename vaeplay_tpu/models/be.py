@@ -24,10 +24,14 @@ from vaeplay_tpu.models.backbone import ResNetFPN
 
 class FeatureNet(nn.Module):
     target_out_channels: int = 32
+    # slim variants (see backbone.ResNet50) for dryrun/SPMD-structure tests
+    backbone_layers: tuple = (3, 4, 6, 3)
+    backbone_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        feats = ResNetFPN(name="backbone")(x)
+        feats = ResNetFPN(layers=self.backbone_layers,
+                          base_width=self.backbone_width, name="backbone")(x)
         y = feats["0"]  # stride 4 (networks_BE.py:35)
         c = y.shape[-1]
         i = 0
@@ -66,9 +70,14 @@ class EdgeNet(MaskNet):
 
 
 class ComposeNet(nn.Module):
+    backbone_layers: tuple = (3, 4, 6, 3)
+    backbone_width: int = 64
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
-        feature = FeatureNet(name="feature_net")(x, train=train)
+        feature = FeatureNet(backbone_layers=self.backbone_layers,
+                             backbone_width=self.backbone_width,
+                             name="feature_net")(x, train=train)
         mask_out = MaskNet(name="mask_net")(feature, train=train)
         edge_out = EdgeNet(name="edge_net")(feature, train=train)
         return {"edges": edge_out, "masks": mask_out}

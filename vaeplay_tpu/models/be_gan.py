@@ -25,10 +25,14 @@ class ComposeNet(nn.Module):
     """Generator: like BE's ComposeNet but with 64-channel heads."""
 
     target_out_channels: int = 64
+    # slim variants (see backbone.ResNet50) for dryrun/SPMD-structure tests
+    backbone_layers: tuple = (3, 4, 6, 3)
+    backbone_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:
-        feats = ResNetFPN(name="backbone")(x)
+        feats = ResNetFPN(layers=self.backbone_layers,
+                          base_width=self.backbone_width, name="backbone")(x)
         y = feats["0"]
         c = y.shape[-1]
         i = 0

@@ -80,6 +80,7 @@ class ValueEncoder(nn.Module):
     """
 
     out_channels: int = 2048
+    ring: object = None  # ops.attention.RingRouting (CP over embedding dims)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -93,7 +94,7 @@ class ValueEncoder(nn.Module):
         # to (B, H=out, W=1, C=S) for position-over-embedding attention
         y = y.transpose(0, 2, 1)[:, :, None, :]
         for i in range(3):
-            y = SelfAttentionBlock(name=f"attn{i}")(y, train=train)
+            y = SelfAttentionBlock(ring=self.ring, name=f"attn{i}")(y, train=train)
         return y[:, :, 0, :].transpose(0, 2, 1)  # back to (B, S, out)
 
 
@@ -102,6 +103,7 @@ class EmitLineParamPredictor(nn.Module):
     (networks_BP.py:94-152)."""
 
     in_channels: int = 2048
+    ring: object = None  # ops.attention.RingRouting
 
     @nn.compact
     def __call__(self, feat_pts: jnp.ndarray, sample_pts: jnp.ndarray,
@@ -120,14 +122,16 @@ class EmitLineParamPredictor(nn.Module):
             [sample_pts[:, :, 2], sample_pts[:, :, 3], sample_pts[:, :, 5]], axis=-1
         ).reshape(b, s, 3)
         embed = jnp.concatenate([param_embed, d_embed, scrambled], axis=-1)  # (B,S,8)
-        known = ValueEncoder(self.in_channels, name="value_encoder")(embed, train=train)
+        known = ValueEncoder(self.in_channels, ring=self.ring,
+                             name="value_encoder")(embed, train=train)
 
         x = feat_pts + known
         # attention towers run with positions = embedding dims (see ValueEncoder)
         def tower(y, prefix):
             y = y.transpose(0, 2, 1)[:, :, None, :]
             for i in range(3):
-                y = SelfAttentionBlock(name=f"{prefix}{i}")(y, train=train)
+                y = SelfAttentionBlock(ring=self.ring,
+                                       name=f"{prefix}{i}")(y, train=train)
             return y[:, :, 0, :].transpose(0, 2, 1)
 
         x_a = tower(x, "attn_a")
@@ -151,6 +155,7 @@ class EmitLinePredictor(nn.Module):
     image_size: int = 512
     # reference channel pyramid (networks_BP.py:180-188); tests shrink this
     channels: tuple = ((64, 2), (128, 2), (256, 2), (512, 2), (1024, 2), (2048, 1), (2048, 1))
+    ring: object = None  # ops.attention.RingRouting
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, params: jnp.ndarray, train: bool = True):
@@ -168,7 +173,7 @@ class EmitLinePredictor(nn.Module):
         # (networks_BP.py:256), so its zero cotangent is exact
         feat_pts = point_sample_ng(x, sample_pts[..., :2], False, "bilinear")
         if_triggers, line_params = EmitLineParamPredictor(
-            self.channels[-1][0], name="param_predictor"
+            self.channels[-1][0], ring=self.ring, name="param_predictor"
         )(feat_pts, sample_pts, params, train=train)
         return if_triggers, line_params, sample_pts
 
@@ -178,12 +183,14 @@ class ComposeNet(nn.Module):
 
     image_size: int = 512
     emit_channels: tuple = ((64, 2), (128, 2), (256, 2), (512, 2), (1024, 2), (2048, 1), (2048, 1))
+    ring: object = None  # ops.attention.RingRouting for the attention towers
 
     def setup(self):
         self.encoder = ContentEndoer()
         self.ellipse_predictor = EllipseParamPredictor()
         self.emit_line_predictor = EmitLinePredictor(
-            image_size=self.image_size, channels=self.emit_channels
+            image_size=self.image_size, channels=self.emit_channels,
+            ring=self.ring,
         )
 
     def __call__(self, x: jnp.ndarray, train: bool = True) -> Dict[str, jnp.ndarray]:

@@ -79,8 +79,10 @@ class StyleUp(nn.Module):
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = True):
         y = ConvTransposeBlock(self.features, 4, stride=2, padding=1,
                                output_padding=0, name="up")(x)
+        # epsilon 1e-5 = torch InstanceNorm2d default (flax GroupNorm defaults
+        # to 1e-6 — a transplant-parity mismatch caught by the trajectory gate)
         y = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                         use_scale=False, name="in")(y).astype(y.dtype)
+                         use_scale=False, epsilon=1e-5, name="in")(y).astype(y.dtype)
         y = nn.relu(y)
         y = jnp.concatenate([y, skip], axis=-1)
         y = ConvBlock(self.features, 3, name="cat")(y, train=train)

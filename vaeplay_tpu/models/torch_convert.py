@@ -115,3 +115,102 @@ def vaegan_from_torch(sd: Dict[str, np.ndarray], img_size: int):
                          "bias": np.asarray(sd[f"param_encoder.{torch_name}.bias"])}
 
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Style_GAN (reference models/network_Style_GAN.py) transplantation — used by
+# the Style_GAN trajectory-parity gate (tests/test_parity_trajectory_stylegan.py).
+
+def _convblock(sd, prefix, bias=True):
+    """reference blocks.Conv2d → flax ConvBlock {conv: {kernel[, bias]}}.
+    InstanceNorm2d carries no parameters (affine=False default)."""
+    p = {"kernel": _conv(sd[f"{prefix}.conv.0.weight"])}
+    if bias:
+        p["bias"] = np.asarray(sd[f"{prefix}.conv.0.bias"])
+    return {"conv": p}
+
+
+def _linblock(sd, prefix):
+    """reference blocks.Linear → flax DenseBlock {fc: {kernel, bias}}."""
+    return {"fc": {"kernel": _lin(sd[f"{prefix}.fc.0.weight"]),
+                   "bias": np.asarray(sd[f"{prefix}.fc.0.bias"])}}
+
+
+def _scse(sd, prefix):
+    """reference blocks.SCSEBlock → flax SCSEBlock params."""
+    def c(name):
+        return {"kernel": _conv(sd[f"{prefix}.{name}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
+    return {"cse_reduce": c("cSE.1"), "cse_expand": c("cSE.3"),
+            "sse": c("sSE.0")}
+
+
+def _convt(sd, prefix):
+    """plain nn.ConvTranspose2d → flax ConvTransposeBlock {kernel, bias}."""
+    return {"kernel": _convT(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _myconv(sd, prefix, bias=True):
+    """reference myConv2d (label-gated conv pair) → flax MyConv2d."""
+    return {"conv_1": _convblock(sd, f"{prefix}.conv_1", bias),
+            "conv_2": _convblock(sd, f"{prefix}.conv_2", bias)}
+
+
+def style_encoder_from_torch(sd: Dict[str, np.ndarray], image_size: int):
+    """reference StyleEncoder (network_Style_GAN.py:12-43) → flax params."""
+    import math
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    n_level = int(math.log2(image_size)) - 2
+    p = {"c0": _convblock(sd, "convs.0")}
+    for i in range(1, n_level + 1):
+        p[f"c{i}"] = _convblock(sd, f"convs.{i}", bias=False)  # instance norm
+    p["c_extra0"] = _convblock(sd, f"convs.{n_level + 1}")
+    p["c_extra1"] = _convblock(sd, f"convs.{n_level + 2}")
+    p["fc_mu"] = _linblock(sd, "fc_mu")
+    p["fc_logvar"] = _linblock(sd, "fc_logvar")
+    return p
+
+
+def style_generator_from_torch(sd: Dict[str, np.ndarray]):
+    """reference Generator (network_Style_GAN.py:81-180) → flax params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p = {
+        "mlp": {"fc0": _linblock(sd, "mlp.model.0"),
+                "fc1": _linblock(sd, "mlp.model.1"),
+                "fc_out": _linblock(sd, "mlp.model.2")},
+        "conv1": _myconv(sd, "conv1"),
+        "conv2": _myconv(sd, "conv2"),
+        "final_up": _convt(sd, "final.0"),
+        "final_c0": _convblock(sd, "final.1"),
+        "final_c1": _convblock(sd, "final.2"),
+        "final_c2": _convblock(sd, "final.3"),
+    }
+    for i in (1, 2, 3, 4):
+        p[f"down{i}"] = _myconv(sd, f"down{i}", bias=False)  # instance norm
+    for i in (1, 2, 3):
+        p[f"skip{i}"] = _convblock(sd, f"skip{i}", bias=False)
+        p[f"up{i}"] = {
+            "up": _convt(sd, f"up{i}.up_convs.0"),
+            "cat": _convblock(sd, f"up{i}.cat_convs.0"),
+            "scse0": _scse(sd, f"up{i}.cat_convs.1"),
+            "scse1": _scse(sd, f"up{i}.cat_convs.2"),
+        }
+    return p
+
+
+def style_discriminator_from_torch(sd: Dict[str, np.ndarray], image_size: int):
+    """reference Discriminator (network_Style_GAN.py:201-229) → flax params."""
+    import math
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    n_level = int(math.log2(image_size)) - 2
+    p = {"c0": _convblock(sd, "convs.0")}
+    for i in range(1, n_level + 1):
+        p[f"c{i}"] = _convblock(sd, f"convs.{i}", bias=False)
+    p["adv0"] = _convblock(sd, "adv_convs.0")
+    p["adv1"] = _convblock(sd, "adv_convs.1")
+    p["aux0"] = _convblock(sd, "aux_convs.0")
+    p["aux1"] = _convblock(sd, "aux_convs.1")
+    return p

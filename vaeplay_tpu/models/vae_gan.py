@@ -204,23 +204,35 @@ class VaeGan(nn.Module):
                                            iter_level=self.iter_level)
         self.param_encoder = DirectDecoder(num_of_param=self.num_of_param)
 
-    def reparameterize(self, mu, logvar):
-        """z = mu + eps*exp(0.5*logvar), eps~N(0,1) (networks.py:228-231)."""
+    def reparameterize(self, mu, logvar, eps=None):
+        """z = mu + eps*exp(0.5*logvar), eps~N(0,1) (networks.py:228-231).
+        `eps` overrides the sampled noise — deterministic-replay mode for
+        trajectory-parity gates (SURVEY.md §7 'exact-parity RNG')."""
         std = jnp.exp(0.5 * logvar)
-        eps = jax.random.normal(self.make_rng("noise"), std.shape, std.dtype)
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("noise"), std.shape, std.dtype)
         return mu + eps * std
 
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True, noise=None):
         """Training forward (networks.py:233-247): returns
         (x_tilde, disc_class, disc_layer, mus, log_variances, params) where the
-        disc_* tensors cover the concatenated [orig; pred; sampled] batch."""
+        disc_* tensors cover the concatenated [orig; pred; sampled] batch.
+
+        noise=(eps, z_p) injects recorded noise for both stochastic sites
+        (reparameterization and the prior sample) instead of drawing from the
+        "noise" rng stream — the deterministic-replay mode trajectory-parity
+        tests use to feed the reference and the rebuild identical draws."""
         b = x.shape[0]
         mus, log_variances = self.encoder(x, train=train)
-        z = self.reparameterize(mus, log_variances)
+        z = self.reparameterize(mus, log_variances,
+                                eps=None if noise is None else noise[0])
         x_tilde = self.decoder(z, train=train)
         params = self.param_encoder(z)
-        z_p = jax.random.normal(self.make_rng("noise"), (b, self.z_size),
-                                mus.dtype)  # keep the prior branch in the
+        if noise is None:
+            z_p = jax.random.normal(self.make_rng("noise"), (b, self.z_size),
+                                    mus.dtype)  # keep the prior branch in the
+        else:
+            z_p = jnp.asarray(noise[1], mus.dtype)
         x_p = self.decoder(z_p, train=train)  # compute dtype under bf16 amp
         cat = jnp.concatenate([x, x_tilde, x_p], axis=0)
         disc_layer = self.discriminator(cat, train=train, mode="REC")

@@ -11,8 +11,10 @@ Semantics (must match the reference exactly):
   out[b, i, :]  = sum_j attn[b, i, j] * v[b, j, :]
 """
 
+import dataclasses
 import functools
 import os
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -144,55 +146,41 @@ def _pallas_attention_bwd(res, g):
 _pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 
 
-# Ring (context-parallel) attention routing — set by trainers/dryruns via
-# configure_ring_attention; consulted at TRACE time by spatial_self_attention.
-_RING = {"mesh": None, "axis": "model", "min_n": 1024}
+@dataclasses.dataclass(frozen=True)
+class RingRouting:
+    """Explicit ring (context-parallel) attention routing handle.
+
+    Threaded through model configs (e.g. `bcp.ComposeNet(ring=...)`) down to
+    the attention blocks — there is NO global routing state: a model built
+    without a handle never rings, one built with it always consults the same
+    immutable handle at trace time, so previously compiled programs can never
+    silently disagree with the configuration (the round-2 footgun this
+    replaces required jax.clear_caches on every change).
+
+    When `mesh` has >= 2 devices on `axis` and the attention position axis
+    N >= min_n divides the axis size, spatial_self_attention shards the N
+    axis over the mesh: K/V slices rotate via lax.ppermute while each device
+    accumulates online-softmax state (SURVEY.md §2.3 SP/CP row).
+    Hashable/immutable so it can live on flax module dataclasses."""
+
+    mesh: Any = None
+    axis: str = "model"
+    min_n: int = 1024
+
+    def active(self, n: int) -> bool:
+        """Whether a position axis of size n routes through the ring."""
+        if self.mesh is None or self.axis not in self.mesh.axis_names:
+            return False
+        n_dev = self.mesh.shape[self.axis]
+        return n_dev >= 2 and n >= self.min_n and n % n_dev == 0
 
 
-def configure_ring_attention(mesh=None, axis: str = "model", min_n: int = 1024,
-                             clear_caches: bool = True):
-    """Route self-attention through the ring (context-parallel) kernel.
-
-    When `mesh` has >= 2 devices on `axis` and a position axis N >= min_n that
-    divides the axis size, every spatial_self_attention call (and therefore
-    every SelfAttentionBlock / PointSelfAttentionBlock — BP's 720-pt ellipse
-    towers, BCP's point path, BC's refine stack) shards its N axis over the
-    mesh: K/V slices rotate via lax.ppermute while each device accumulates
-    online-softmax state (SURVEY.md §2.3 SP/CP row).  Call with mesh=None to
-    disable.  Returns the previous configuration for save/restore.
-
-    The routing is consulted at TRACE time, so programs jit-compiled BEFORE a
-    reconfiguration would silently keep their old routing.  To keep semantics
-    honest, changing the configuration drops jax's compilation caches
-    (jax.clear_caches) so every step function retraces under the new routing.
-    Pass clear_caches=False only when you know no affected program has been
-    compiled yet (the CLIs configure before the first trace)."""
-    prev = dict(_RING)
-    changed = (prev["mesh"], prev["axis"], prev["min_n"]) != (mesh, axis, min_n)
-    _RING.update(mesh=mesh, axis=axis, min_n=min_n)
-    if changed and clear_caches:
-        jax.clear_caches()
-    return prev
-
-
-def ring_attention_active(n: int) -> bool:
-    """Whether a position axis of size n would route through the ring."""
-    mesh = _RING["mesh"]
-    if mesh is None:
-        return False
-    axis = _RING["axis"]
-    if axis not in mesh.axis_names:
-        return False
-    n_dev = mesh.shape[axis]
-    return n_dev >= 2 and n >= _RING["min_n"] and n % n_dev == 0
-
-
-def _maybe_ring(q, k, v):
-    if not ring_attention_active(q.shape[1]):
+def _maybe_ring(q, k, v, ring: Optional[RingRouting]):
+    if ring is None or not ring.active(q.shape[1]):
         return None
     from vaeplay_tpu.parallel.ring_attention import ring_self_attention
 
-    return ring_self_attention(q, k, v, _RING["mesh"], axis=_RING["axis"])
+    return ring_self_attention(q, k, v, ring.mesh, axis=ring.axis)
 
 
 def use_pallas() -> bool:
@@ -221,16 +209,19 @@ def use_pallas() -> bool:
     return False
 
 
-def spatial_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def spatial_self_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    ring: "Optional[RingRouting]" = None,
+) -> jnp.ndarray:
     """Unscaled softmax attention over flattened spatial (or point) positions.
 
     Args:  q, k: (B, N, Dk);  v: (B, N, Dv).  Returns (B, N, Dv).
-    Dispatches to the ring (context-parallel) kernel when
-    configure_ring_attention is active for this N, else to the flash kernel
-    when use_pallas() (any N — the kernel streams K/V blockwise), else to
-    XLA's fused einsum formulation.
+    Dispatches to the ring (context-parallel) kernel when an explicit
+    RingRouting handle is passed and active for this N, else to the flash
+    kernel when use_pallas() (any N — the kernel streams K/V blockwise), else
+    to XLA's fused einsum formulation.
     """
-    ring_out = _maybe_ring(q, k, v)
+    ring_out = _maybe_ring(q, k, v, ring)
     if ring_out is not None:
         return ring_out
     n = q.shape[1]

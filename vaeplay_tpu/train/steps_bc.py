@@ -15,6 +15,7 @@ from vaeplay_tpu.train.state import TrainState, stop_frozen_gradients
 
 
 def make_bc_train_step(model, max_points: int = 256, external_contours: bool = False,
+                       freeze_backbone: bool = True,
                        compute_dtype=None):
     """jit step for BC.
 
@@ -33,8 +34,11 @@ def make_bc_train_step(model, max_points: int = 256, external_contours: bool = F
 
     def loss_fn(params, batch_stats, constants, imgs, contours, bimgs, eimgs,
                 tgt_pts, tgt_mask, key_pts, key_mask):
-        # frozen-stem gradient cut — see state.stop_frozen_gradients
-        params = stop_frozen_gradients(params)
+        # frozen-stem gradient cut — see state.stop_frozen_gradients.
+        # freeze_backbone=True REQUIRES an optimizer that masks conv1/layer1
+        # (state.frozen_backbone_adam); pass False for full fine-tuning.
+        if freeze_backbone:
+            params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:

@@ -13,12 +13,18 @@ from vaeplay_tpu.ops import losses as L
 from vaeplay_tpu.train.state import TrainState, stop_frozen_gradients
 
 
-def make_be_train_step(model, compute_dtype=None):
+def make_be_train_step(model, compute_dtype=None, freeze_backbone=True):
     """jit (state, imgs, bimgs, eimgs) -> (state, metrics).
 
     imgs: (B, H, W, 3); bimgs/eimgs: (B, H, W, 1) binary targets.
     compute_dtype=bfloat16 runs forward/backward FLOPs in bf16, keeping
     master params / Adam state / BN stats / losses f32 (utils/amp.py).
+
+    freeze_backbone=True (the reference semantics, torchvision
+    trainable_layers=3) cuts gradients at the backbone stem/layer1 — it
+    REQUIRES the state's optimizer to mask those same params (e.g.
+    state.frozen_backbone_adam); pass False for full fine-tuning with an
+    unmasked optimizer, otherwise the stem would silently stop training.
     """
     from vaeplay_tpu.utils.amp import merge_batch_stats, to_compute, to_f32
 
@@ -26,7 +32,8 @@ def make_be_train_step(model, compute_dtype=None):
         # cut gradients at the torchvision-frozen stem/layer1 so XLA
         # dead-codes their backward (the optimizer mask already zeroes the
         # updates — numerics unchanged, see state.stop_frozen_gradients)
-        params = stop_frozen_gradients(params)
+        if freeze_backbone:
+            params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:

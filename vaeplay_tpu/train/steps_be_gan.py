@@ -31,6 +31,7 @@ class GanState(struct.PyTreeNode):
 
 
 def make_be_gan_train_step(g_model, d_model, split: bool = True,
+                           freeze_backbone: bool = True,
                            compute_dtype=None):
     """(gan_state, imgs, bimgs, eimgs, labels) -> (gan_state, metrics).
 
@@ -53,8 +54,11 @@ def make_be_gan_train_step(g_model, d_model, split: bool = True,
     def g_apply(params, batch_stats, constants, imgs):
         # frozen-stem gradient cut (state.stop_frozen_gradients): the
         # optimizer mask already zeroes conv1/layer1 updates, this lets XLA
-        # dead-code their backward in the G phase (no-op in the D phase)
-        params = stop_frozen_gradients(params)
+        # dead-code their backward in the G phase (no-op in the D phase).
+        # freeze_backbone=True REQUIRES the G optimizer to mask conv1/layer1
+        # (state.frozen_backbone_adam); pass False for full fine-tuning.
+        if freeze_backbone:
+            params = stop_frozen_gradients(params)
         variables = {"params": to_compute(params, compute_dtype),
                      "batch_stats": to_compute(batch_stats, compute_dtype)}
         if constants:

@@ -34,9 +34,15 @@ class StyleGanState(struct.PyTreeNode):
 
 
 def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
-                              compute_dtype=None):
+                              compute_dtype=None, recorded_noise: bool = False):
     """compute_dtype=bfloat16 runs E/G/D FLOPs in bf16 with f32 master
-    params / Adam state / loss math (KL included) (utils/amp.py policy)."""
+    params / Adam state / loss math (KL included) (utils/amp.py policy).
+
+    recorded_noise=True returns a step with signature
+    (ss, x_target, x_content, labels, eps, z_sample) taking the two noise
+    draws (reference train_Style_GAN.py:156-160 reparameterization eps and
+    :223 prior sample) as explicit arrays — the deterministic-replay mode the
+    trajectory-parity gate uses; default False samples them from the rng arg."""
     from vaeplay_tpu.utils.amp import to_compute, to_f32
 
     def E(params, x):
@@ -56,12 +62,8 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
             to_compute(x, compute_dtype), to_compute(x_content, compute_dtype),
             train=True))
 
-    @jax.jit
-    def train_step(ss: StyleGanState, x_target, x_content, labels, rng):
+    def _step(ss: StyleGanState, x_target, x_content, labels, eps, z_sample):
         e, g, d = ss.e, ss.g, ss.d
-        b = x_target.shape[0]
-        rng_eps, rng_z = jax.random.split(rng)
-        z_sample = jax.random.normal(rng_z, (b, z_dim))
 
         # The x_gen branch feeds TWO losses that backprop into G — the
         # adversarial gen_d term (with pre-update params all around) and the
@@ -78,7 +80,6 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
 
         def eg_loss(e_params, g_params, x_gen_in):
             mu, logvar = E(e_params, x_target)
-            eps = jax.random.normal(rng_eps, mu.shape)
             z_enc = eps * jnp.exp(logvar / 2.0) + mu
             x_rec = G(g_params, x_content, z_enc, labels)
             rec_valid, rec_type = D(d.params, x_rec, x_content)
@@ -129,5 +130,19 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
         metrics = {**aux, "loss_latent": lat, "d_real_loss": d_real,
                    "d_fake_loss": d_fake}
         return StyleGanState(e=e, g=g, d=d), metrics
+
+    if recorded_noise:
+        @jax.jit
+        def train_step(ss: StyleGanState, x_target, x_content, labels,
+                       eps, z_sample):
+            return _step(ss, x_target, x_content, labels, eps, z_sample)
+    else:
+        @jax.jit
+        def train_step(ss: StyleGanState, x_target, x_content, labels, rng):
+            b = x_target.shape[0]
+            rng_eps, rng_z = jax.random.split(rng)
+            eps = jax.random.normal(rng_eps, (b, z_dim))
+            z_sample = jax.random.normal(rng_z, (b, z_dim))
+            return _step(ss, x_target, x_content, labels, eps, z_sample)
 
     return train_step
