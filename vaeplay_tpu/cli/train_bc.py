@@ -71,6 +71,11 @@ def main(argv=None):
                              "multi-chip alternative to --refine_dtype bf16 "
                              "for the 256-pt capacity")
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--backbone_ckpt", type=str, dest="backbone_ckpt",
+                        default=None,
+                        help="torchvision resnet50 checkpoint (.pth/.pt/.npz) "
+                             "to transplant into the FPN backbone — the "
+                             "reference's pretrained=True")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
     args = parser.parse_args(argv)
@@ -88,6 +93,9 @@ def main(argv=None):
                        refine_fc_dtype=args.refine_dtype)
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     variables = jit_init(model, {"params": jax.random.PRNGKey(args.seed)}, x)
+    if args.backbone_ckpt:
+        from vaeplay_tpu.cli.train_be import _load_backbone
+        variables = _load_backbone(args.backbone_ckpt, variables)
 
     if args.path:
         dset = BCDataset(args.path, (args.img_size, args.img_size),

@@ -29,10 +29,31 @@ from vaeplay_tpu.utils.viz import makedirs
 AVG_KEYS = ("loss_edge", "loss_mask")
 
 
+def _load_backbone(path, variables):
+    """Transplant a torchvision resnet50(-FPN) checkpoint into the model's
+    backbone subtree(s) — the reference trains from pretrained torchvision
+    weights (networks_BE.py:16, networks_BC.py:83, networks_BE_GAN.py:44);
+    here the user supplies the file offline.  Returns rebuilt variables."""
+    import flax
+
+    from vaeplay_tpu.models.backbone import load_and_transplant_backbone
+
+    params = flax.core.unfreeze(variables["params"])
+    constants = flax.core.unfreeze(variables.get("constants", {}))
+    n = load_and_transplant_backbone(path, params, constants)
+    print(f"backbone checkpoint {path}: transplanted into {n} subtree(s)")
+    out = dict(variables)
+    out["params"] = params
+    out["constants"] = constants
+    return out
+
+
 def build_state(args):
     model = ComposeNet()
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     variables = jit_init(model, {"params": jax.random.PRNGKey(args.seed)}, x)
+    if getattr(args, "backbone_ckpt", None):
+        variables = _load_backbone(args.backbone_ckpt, variables)
     tx = frozen_backbone_adam(args.lr)
     state = TrainState.create(
         model.apply, variables["params"], variables["batch_stats"], tx,
@@ -55,6 +76,11 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=100)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--backbone_ckpt", type=str, dest="backbone_ckpt",
+                        default=None,
+                        help="torchvision resnet50 checkpoint (.pth/.pt/.npz) "
+                             "to transplant into the FPN backbone — the "
+                             "reference's pretrained=True (networks_BE.py:16)")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
     parser.add_argument("--dtype", type=str, dest="dtype", default="float32",

@@ -44,6 +44,11 @@ def main(argv=None):
     parser.add_argument("--model_output", type=str, dest="model_output", default="./logs")
     parser.add_argument("--viz_freq", type=int, dest="viz_freq", default=20)
     parser.add_argument("--seed", type=int, dest="seed", default=0)
+    parser.add_argument("--backbone_ckpt", type=str, dest="backbone_ckpt",
+                        default=None,
+                        help="torchvision resnet50 checkpoint (.pth/.pt/.npz) "
+                             "to transplant into the FPN backbone — the "
+                             "reference's pretrained=True")
     parser.add_argument("--dtype", type=str, dest="dtype", default="float32",
                         choices=("float32", "f32", "bfloat16", "bf16"),
                         help="compute dtype for forward/backward FLOPs; "
@@ -66,6 +71,9 @@ def main(argv=None):
     x = jnp.zeros((1, args.img_size, args.img_size, 3))
     m = jnp.zeros((1, args.img_size, args.img_size, 1))
     gv = jit_init(g_model, {"params": jax.random.PRNGKey(args.seed)}, x)
+    if args.backbone_ckpt:
+        from vaeplay_tpu.cli.train_be import _load_backbone
+        gv = _load_backbone(args.backbone_ckpt, gv)
     dv = jit_init(d_model, {"params": jax.random.PRNGKey(args.seed + 1)}, x, m, m)
     g = TrainState.create(
         g_model.apply, gv["params"], gv["batch_stats"],

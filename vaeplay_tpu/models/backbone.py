@@ -170,6 +170,63 @@ class ResNetFPN(nn.Module):
 # torchvision weight conversion
 
 
+def load_backbone_state(path: str) -> Dict[str, "np.ndarray"]:
+    """Load a backbone checkpoint file into {tensor name → numpy array}.
+
+    Accepts a torchvision-style ``.pth``/``.pt`` (via torch.load, handling a
+    raw state_dict or a {"state_dict"|"model": ...} wrapper) or an ``.npz``
+    with the same key vocabulary.  Provides the `pretrained=True` capability
+    of the reference feature nets (networks_BE.py:16, networks_BC.py:83,
+    networks_BE_GAN.py:44) from a user-supplied offline file — this
+    environment cannot download weights."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: np.asarray(z[k]) for k in z.files}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def _find_backbone_subtrees(params: Dict, constants: Dict):
+    """Locate every ResNetFPN subtree (a dict holding both "body" and "fpn")
+    in a model's param/constant trees — models nest the backbone differently
+    (BE: feature_net/backbone, BE_GAN: backbone, BC: feature_net/feature)."""
+    found = []
+
+    def walk(p, c):
+        if not isinstance(p, dict):
+            return
+        if "body" in p and "fpn" in p and isinstance(c, dict) and "body" in c:
+            found.append((p, c))
+            return
+        for k in p:
+            if isinstance(c, dict) and k in c:
+                walk(p[k], c[k])
+
+    walk(params, constants)
+    return found
+
+
+def load_and_transplant_backbone(path: str, params: Dict, constants: Dict) -> int:
+    """Load `path` and transplant it into every ResNetFPN subtree found in
+    (params, constants) IN PLACE.  Returns the number of subtrees filled;
+    raises if none were found (wrong model or frozen trees)."""
+    sd = load_backbone_state(path)
+    trees = _find_backbone_subtrees(params, constants)
+    if not trees:
+        raise ValueError(
+            "no ResNetFPN subtree (body+fpn) found in the model params — "
+            "--backbone_ckpt only applies to BE/BC/BE_GAN-style models")
+    for p, c in trees:
+        convert_torchvision_state_dict(sd, p, c)
+    return len(trees)
+
+
 def convert_torchvision_state_dict(
     state_dict: Dict[str, "np.ndarray"], params: Dict, constants: Dict
 ) -> None:
