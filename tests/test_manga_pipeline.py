@@ -162,3 +162,49 @@ def test_serve_pages_skips_bad_pages(synthetic_page, tmp_path_factory):
     assert (n.written, n.empty, n.failed) == (1, 0, 1)
     assert os.path.exists(os.path.join(out, "good.png"))
     assert not os.path.exists(os.path.join(out, "bad.png"))
+
+
+class _ImmediateTracer:
+    """Mimics BridgeTracer.submit with a synchronous 'worker': the trace
+    result is computed eagerly and wrapped in a resolved Future."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def submit(self, packed):
+        from concurrent.futures import Future
+
+        self.log.append(("trace", packed))
+        f = Future()
+        f.set_result((packed * 10, packed))  # (pts, counts) stand-ins
+        return f
+
+
+def test_pipeline_bc_batches_matches_sequential_and_overlaps():
+    """eval/serve.pipeline_bc_batches must (a) yield exactly the sequential
+    loop's (batch, refine(batch, trace(mask(batch)))) results in order, and
+    (b) actually skew the stages: mask(i+1) is dispatched before refine(i),
+    so the host trace of batch i can overlap device work."""
+    from vaeplay_tpu.eval.serve import pipeline_bc_batches
+
+    for n in (0, 1, 2, 5):
+        log = []
+        tracer = _ImmediateTracer(log)
+
+        def dispatch_mask(x):
+            log.append(("mask", x))
+            return x
+
+        def dispatch_refine(x, pts, counts):
+            log.append(("refine", x))
+            return ("refined", x, pts, counts)
+
+        batches = list(range(n))
+        got = list(pipeline_bc_batches(dispatch_mask, tracer.submit,
+                                       dispatch_refine, batches))
+        assert got == [(x, ("refined", x, x * 10, x)) for x in batches]
+        mask_pos = {x: i for i, (op, x) in enumerate(log) if op == "mask"}
+        refine_pos = {x: i for i, (op, x) in enumerate(log) if op == "refine"}
+        for x in batches[:-1]:
+            # the skew: the NEXT batch's mask dispatch precedes this refine
+            assert mask_pos[x + 1] < refine_pos[x]

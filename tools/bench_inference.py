@@ -144,11 +144,9 @@ def bench_bp():
             timed_eval_scan(fwd, params_c, imgs, (), iters=20), BS)
 
 
-def bench_bc():
-    """BC serve path = mask program → host contour trace → refine program
-    (reference networks_BC.py:208-241; the trace is ON the critical path at
-    serve time — prediction contours feed the refine pass).  Mirrors
-    cli/test_bc.py:render_batch; fetch-synced host-loop timing."""
+def _bc_setup():
+    """Shared BC serve-path setup: model/state, stage-A mask step (bit-packed
+    strided bridge), host tracer, stage-B refine jit, and a base batch."""
     from vaeplay_tpu.data.bc_data import SyntheticBCDataset
     from vaeplay_tpu.models.bc import ComposeNet
     from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
@@ -172,6 +170,17 @@ def bench_bc():
 
     b = SyntheticBCDataset(img_size=IMG, max_points=MP).sample_batch(BS)
     base = jnp.asarray(b["imgs"])
+    return model, state, mask_step, tracer, variables, refine, base, (IMG, BS, MP)
+
+
+def bench_bc():
+    """BC serve path = mask program → host contour trace → refine program
+    (reference networks_BC.py:208-241; the trace is ON the critical path at
+    serve time — prediction contours feed the refine pass).  Mirrors
+    cli/test_bc.py:render_batch; fetch-synced host-loop timing.  This is the
+    strictly sequential loop — `bench_bc_pipelined` measures the shipped
+    overlapped form (eval/serve.pipeline_bc_batches)."""
+    model, state, mask_step, tracer, variables, refine, base, (IMG, BS, MP) = _bc_setup()
     holder = {"x": base}
 
     def run():
@@ -187,6 +196,41 @@ def bench_bc():
     dt = timed_chain(run, iters=10, warmup=2)
     return (f"BC mask→trace→refine 256px bs{BS} {MP}pts "
             f"[bf16, incl. host bridge]", dt, BS)
+
+
+def bench_bc_pipelined():
+    """Pipelined BC serve (eval/serve.pipeline_bc_batches): the host contour
+    trace of batch i-1 and the regression fetch of batch i-2 overlap the
+    device execution of batch i's mask pass.  Honest host-loop timing — the
+    window is bounded by a real data fetch of EVERY batch's refine output
+    (the serve contract: the per-point regressions must reach the host), and
+    the per-batch trace fetch bounds host run-ahead to the pipeline depth.
+    Pipeline fill/drain is included (conservative)."""
+    from vaeplay_tpu.eval.serve import pipeline_bc_batches
+
+    model, state, mask_step, tracer, variables, refine, base, (IMG, BS, MP) = _bc_setup()
+    N = 16
+
+    def dispatch_mask(x):
+        return mask_step(state, x)
+
+    def dispatch_refine(x, pts, counts):
+        preds = refine(variables, x, (jnp.asarray(pts), jnp.asarray(counts)))
+        return preds["contour_regressions"]
+
+    def run_pipeline(n):
+        got = 0
+        for _, out in pipeline_bc_batches(dispatch_mask, tracer.submit,
+                                          dispatch_refine, [base] * n):
+            np.asarray(out)          # real device→host fetch per batch
+            got += 1
+        assert got == n
+    run_pipeline(3)                  # compile both programs + warm the bridge
+    t0 = time.perf_counter()
+    run_pipeline(N)
+    dt = (time.perf_counter() - t0) / N
+    return (f"BC mask→trace→refine 256px bs{BS} {MP}pts "
+            f"[bf16, pipelined bridge]", dt, BS)
 
 
 def bench_bcp():
@@ -262,7 +306,8 @@ def bench_style_gan():
 
 FAMILIES = {
     "vae": bench_vae, "be": bench_be, "be_gan": bench_be_gan, "bp": bench_bp,
-    "bc": bench_bc, "bcp": bench_bcp, "be_font": bench_be_font,
+    "bc": bench_bc, "bc_pipelined": bench_bc_pipelined,
+    "bcp": bench_bcp, "be_font": bench_be_font,
     "style_gan": bench_style_gan,
 }
 

@@ -15,7 +15,10 @@ All timing is scan-amortized + fetch-synced per CLAUDE.md benchmarking rules
 (tools/bench_util.timed_scan).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +35,6 @@ from vaeplay_tpu.train.steps_be_gan import GanState
 from vaeplay_tpu.utils.amp import to_compute, to_f32
 from vaeplay_tpu.utils.jitting import jit_init
 from tools.bench_util import timed_scan
-
-import os
 
 IMG = int(os.environ.get("BCP_IMG", 512))
 BS = int(os.environ.get("BCP_BS", 16))
@@ -211,6 +212,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()

@@ -57,7 +57,7 @@ def main(argv=None):
     def full_forward(variables, imgs, contours):
         return model.apply(variables, imgs, train=False, contours=contours)
 
-    def render_batch(imgs, name):
+    def predict_batch(imgs):
         imgs = jnp.asarray(imgs)
         if external:
             masks = unpack_mask_bits(mask_step(state, imgs), args.img_size + 2)
@@ -65,7 +65,12 @@ def main(argv=None):
             contours = (jnp.asarray(pts), jnp.asarray(counts_))
         else:
             contours = None
-        preds = full_forward(state.variables(), imgs, contours)
+        return full_forward(state.variables(), imgs, contours)
+
+    def render_batch(imgs, name, preds=None):
+        imgs = jnp.asarray(imgs)
+        if preds is None:
+            preds = predict_batch(imgs)
         panels = []
         cnts = np.asarray(preds["contours"])
         regs = np.asarray(preds["contour_regressions"])
@@ -82,17 +87,42 @@ def main(argv=None):
         print(f"wrote {out}")
 
     if args.path:
-        # full-dataset walker over the test split (reference test_BC.py loop)
+        # full-dataset walker over the test split (reference test_BC.py loop).
+        # On the external bridge the mask→trace→refine stages are software-
+        # pipelined across batches (eval/serve.pipeline_bc_batches): the host
+        # trace + grid render of batch i-1 overlap batch i's device work.
         from vaeplay_tpu.data.bc_data import BCDataset
 
         dset = BCDataset(args.path, (args.img_size, args.img_size),
                          max_points=args.max_points, if_test=True)
         if not len(dset):
             parser.error(f"no test samples under {args.path}")
-        for s in range(0, len(dset), args.batchsize):
-            idxs = range(s, min(s + args.batchsize, len(dset)))
-            imgs = np.stack([dset.load(j)[0] for j in idxs])
-            render_batch(imgs, f"contours_{s // args.batchsize}")
+
+        def batch_iter():
+            for s in range(0, len(dset), args.batchsize):
+                idxs = range(s, min(s + args.batchsize, len(dset)))
+                yield (np.stack([dset.load(j)[0] for j in idxs]),
+                       f"contours_{s // args.batchsize}")
+
+        if external:
+            from vaeplay_tpu.eval.serve import pipeline_bc_batches
+            from vaeplay_tpu.train.steps_bc import BridgeTracer
+
+            tracer = BridgeTracer(args.img_size, 1, args.max_points)
+
+            def dispatch_mask(batch):
+                return mask_step(state, jnp.asarray(batch[0]))
+
+            def dispatch_refine(batch, pts, counts):
+                return full_forward(state.variables(), jnp.asarray(batch[0]),
+                                    (jnp.asarray(pts), jnp.asarray(counts)))
+
+            for (imgs, name), preds in pipeline_bc_batches(
+                    dispatch_mask, tracer.submit, dispatch_refine, batch_iter()):
+                render_batch(imgs, name, preds=preds)
+        else:
+            for imgs, name in batch_iter():
+                render_batch(imgs, name)
     else:
         ds = SyntheticBCDataset(img_size=args.img_size,
                                 max_points=args.max_points,

@@ -16,8 +16,9 @@ Page results are identical to the sequential loop's: pages are independent
 """
 
 import os
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, NamedTuple, Optional, Sequence
+from typing import Callable, Dict, Iterable, Iterator, NamedTuple, Optional, Sequence, Tuple
 
 from vaeplay_tpu.eval.manga import (
     load_manga_from_annotation, load_manga_from_mask,
@@ -106,3 +107,56 @@ def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
         if pending is not None:
             flush(pending)
     return ServeStats(n_done, n_empty, n_failed)
+
+
+def pipeline_bc_batches(
+    dispatch_mask: Callable, submit_trace: Callable,
+    dispatch_refine: Callable, batches: Iterable,
+) -> Iterator[Tuple[object, object]]:
+    """Software-pipelined BC serve: mask program → host contour trace →
+    refine program (reference networks_BC.py:208-241, where the trace sits
+    on the critical path between the two device passes).
+
+    The sequential loop pays, per batch:  mask dispatch + device exec +
+    tunnel sync + host trace + refine dispatch + device exec + output fetch.
+    This generator skews the stages across consecutive batches so the host
+    trace of batch i-1 and the output fetch of batch i-2 overlap the device
+    execution of batch i's mask pass:
+
+        enqueue order:  mask(0) | mask(1), refine(0) | mask(2), refine(1),
+                        yield(0) | mask(3), refine(2), yield(1) | ...
+
+    All device dispatches stay on the caller's thread (the axon-safe single
+    dispatch stream, see module docstring); only the blocking packed-mask
+    fetch + trace runs on the tracer's worker thread (`submit_trace`,
+    typically BridgeTracer.submit — the same overlap already used by the
+    BC trainer, train/steps_bc.py:134).
+
+    Args:
+      dispatch_mask:   batch → bit-packed mask device array   (async enqueue)
+      submit_trace:    packed → Future[(pts, counts)]         (worker thread)
+      dispatch_refine: (batch, pts, counts) → refine output   (async enqueue)
+      batches:         iterable of model inputs
+    Yields (batch, refine_output) in order, with the output delayed one
+    batch behind the dispatch front; the caller's fetch of each yielded
+    output overlaps the next batch's device work.  Results are identical to
+    the sequential loop's — batches are independent, only wall-clock changes.
+    """
+    tq: deque = deque()  # (batch, trace future) — mask dispatched
+    rq: deque = deque()  # (batch, refine output) — refine dispatched
+
+    def advance():
+        x, tf = tq.popleft()
+        pts, counts = tf.result()
+        rq.append((x, dispatch_refine(x, pts, counts)))
+
+    for x in batches:
+        tq.append((x, submit_trace(dispatch_mask(x))))
+        if len(tq) >= 2:
+            advance()
+        while len(rq) >= 2:
+            yield rq.popleft()
+    while tq:
+        advance()
+    while rq:
+        yield rq.popleft()
