@@ -255,3 +255,50 @@ def test_augmentation_uses_translation():
             assert abs(abs(px.mean() - w / 2) - abs(cx - w / 2)) < 2.0
             assert abs(abs(py.mean() - h / 2) - abs(cy - h / 2)) < 2.0
     assert moved >= 3
+
+
+def test_merged_encoder_matches_dual_towers():
+    """The block-diagonal merged ContentEndoer must be math-identical to the
+    dual 64-ch towers: transplant the dual init via merge_encoder_params and
+    compare outputs AND per-kernel gradients (the zero cross-tower blocks
+    contribute exact zeros, so only conv accumulation order differs)."""
+    from vaeplay_tpu.models.bcp import ContentEndoer, merge_encoder_params
+
+    blocks = 3
+    dual = ContentEndoer(blocks=blocks, merged=False)
+    merged = ContentEndoer(blocks=blocks, merged=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 32, 32, 5)).astype(np.float32))
+    dv = jit_init(dual, {"params": jax.random.PRNGKey(7)}, x)
+    mp = merge_encoder_params(dv["params"], blocks=blocks)
+    # layout sanity: converted tree typechecks against a fresh merged init
+    mv = jit_init(merged, {"params": jax.random.PRNGKey(8)}, x)
+    jax.tree_util.tree_map(lambda a, b: None, mv["params"], mp)
+
+    out_d = dual.apply({"params": dv["params"]}, x, train=True)
+    out_m = merged.apply({"params": mp}, x, train=True)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(mod, params):
+        return jnp.sum(jnp.square(mod.apply({"params": params}, x, train=True)))
+
+    gd = jax.grad(lambda p: loss(dual, p))(dv["params"])
+    gm = jax.grad(lambda p: loss(merged, p))(mp)
+    gm_as_dual = {}
+    for i in range(blocks):
+        a, b = {}, {}
+        for c, bias_b in (("c0", False), ("c1", True), ("c2", False)):
+            m = gm[f"m{i}"]
+            a[c] = {"conv": {"kernel": m[f"{c}_kernel_a"],
+                             "bias": m[f"{c}_bias_a"]}}
+            b[c] = {"conv": {"kernel": m[f"{c}_kernel_b"]}}
+            if bias_b:
+                b[c]["conv"]["bias"] = m[f"{c}_bias_b"]
+        gm_as_dual[f"a{i}"], gm_as_dual[f"b{i}"] = a, b
+    for (pa, ga), (pb, gb) in zip(
+            jax.tree_util.tree_leaves_with_path(gd),
+            jax.tree_util.tree_leaves_with_path(gm_as_dual)):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{pa} vs {pb}")

@@ -302,11 +302,15 @@ FAMILIES = {k: FAMILIES[k] for k in
 
 
 def _parse_existing_rows(md_path):
-    """Rows already in BENCH_FAMILIES.md, as {label: (ms, ips)}."""
+    """Rows already in BENCH_FAMILIES.md's TRAIN table (everything above the
+    NOTES marker), as {label: (ms, ips)}.  Stopping at the marker keeps the
+    inference/serve tables below it from leaking into the train table."""
     rows = {}
     if not os.path.exists(md_path):
         return rows
     for line in open(md_path):
+        if line.startswith("<!-- NOTES:"):
+            break
         parts = [p.strip() for p in line.strip().strip("|").split("|")]
         if len(parts) != 3 or parts[0] in ("workload", "---"):
             continue

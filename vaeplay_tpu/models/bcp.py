@@ -28,8 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vaeplay_tpu.core import init as vinit
 from vaeplay_tpu.core.layers import (
-    ConvBlock, DenseBlock, PointSelfAttentionBlock, add_coords)
+    ConvBlock, DenseBlock, PointSelfAttentionBlock, add_coords,
+    apply_activation)
 from vaeplay_tpu.ops.image import grid_sample
 
 VALUE_WEIGHT = 10.0
@@ -51,8 +53,88 @@ class TMPBlock(nn.Module):
         return x
 
 
+class MergedTMPBlock(nn.Module):
+    """Both towers' TMPBlocks at one depth, evaluated as ONE 2f-channel
+    block-diagonal conv stack.
+
+    Math-identical to TMPBlock(f, bn=None) ("a" tower) and
+    TMPBlock(f, bn="instance") ("b" tower) run side by side: each conv's two
+    f-channel kernels sit on the diagonal of a 2f-channel kernel whose
+    cross-tower blocks are zero, so the extra accumulated terms are exact
+    zeros while the MXU sees full 128-lane operands.  Measured on the v5e
+    chip: a 128-ch 3x3 conv runs at 3.05x the per-FLOP rate of a 64-ch one
+    (tools/probe_bcp_encoder.py), so 2x the FLOPs net ~1.5x wall-clock.
+    Tower b's parameter-free instance norm (torch affine=False,
+    reference networks_BCP.py:24-28) applies to its half only — group_size=1
+    normalizes per channel, so the half-slice is the same op.  Params stay
+    per-tower (`{c}_kernel_a` / `{c}_kernel_b`, biases where the dual layout
+    has them) with unchanged shapes, so init distributions are identical and
+    `merge_encoder_params` converts the dual layout 1:1.
+    """
+
+    features: int = 64
+    if_down: bool = False
+    first: bool = False  # block 0: both halves read the shared raw input
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        f = self.features
+
+        def conv(y, name, k, stride, shared_input, bias_b):
+            in_c = y.shape[-1] if shared_input else y.shape[-1] // 2
+            wa = self.param(f"{name}_kernel_a", vinit.conv_kaiming,
+                            (k, k, in_c, f))
+            wb = self.param(f"{name}_kernel_b", vinit.conv_kaiming,
+                            (k, k, in_c, f))
+            if shared_input:
+                w = jnp.concatenate([wa, wb], axis=3)
+            else:
+                z = jnp.zeros_like(wa)
+                w = jnp.concatenate(
+                    [jnp.concatenate([wa, z], axis=3),
+                     jnp.concatenate([z, wb], axis=3)], axis=2)
+            p = (k - 1) // 2
+            out = jax.lax.conv_general_dilated(
+                y, w.astype(y.dtype), (stride, stride), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # tower a's ConvBlocks always carry bias (bn=None); tower b's
+            # only where its ConvBlock has no norm (the 1x1 c1)
+            ba = self.param(f"{name}_bias_a", vinit.zeros, (f,))
+            bb = (self.param(f"{name}_bias_b", vinit.zeros, (f,))
+                  if bias_b else jnp.zeros((f,), ba.dtype))
+            return out + jnp.concatenate([ba, bb]).astype(out.dtype)
+
+        def norm_b_half(y):
+            # instance norm on tower b's half only (parameter-free).
+            # Normalize ALL channels and select with an elementwise channel
+            # mask instead of split/concat: group_size=1 stats are
+            # per-channel, so the b-half values are identical, and the
+            # mask select fuses where the split/concat pair forced two full
+            # materializations of the (B,H,W,2f) activation per norm site
+            # (measured: split/concat merged stack 58.7 ms vs 54.1 dual;
+            # probe log in BENCH_FAMILIES.md round-3 notes).
+            gn = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                              use_bias=False, use_scale=False)(y).astype(y.dtype)
+            is_b = jnp.arange(y.shape[-1]) >= f
+            return jnp.where(is_b, gn, y)
+
+        s = 2 if self.if_down else 1
+        y = conv(x, "c0", 3, s, self.first, bias_b=False)
+        y = apply_activation(norm_b_half(y), "lrelu", 0.02)
+        y = conv(y, "c1", 1, 1, False, bias_b=True)
+        y = apply_activation(y, "lrelu", 0.02)
+        y = conv(y, "c2", 3, 1, False, bias_b=False)
+        return apply_activation(norm_b_half(y), "lrelu", 0.02)
+
+
 class ContentEndoer(nn.Module):
     """Dual towers (plain + instance-norm) concatenated (BCP :37-68).
+
+    `merged` (default) evaluates the two 64-ch towers as one 128-ch
+    block-diagonal stack (MergedTMPBlock) — same math, ~1.5x faster on the
+    MXU whose 128-lane output axis a 64-ch conv leaves half idle; the dual
+    layout remains available for the equivalence test
+    (tests/test_bcp.py) via merged=False + merge_encoder_params.
 
     `blocks` < 8 selects a slim variant (same dual-tower/stride topology,
     fewer TMPBlocks) for dryrun/SPMD-structure tests; default is the
@@ -61,9 +143,17 @@ class ContentEndoer(nn.Module):
     out_size: int = 128      # reference constant (spatial size at 512px input)
     out_channels: int = 128
     blocks: int = 8
+    merged: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.merged:
+            y = x
+            for i in range(self.blocks):
+                y = MergedTMPBlock(64, if_down=i < 2, first=i == 0,
+                                   name=f"m{i}")(y, train=train)
+            return y
+
         def tower(bn, prefix):
             y = x
             for i in range(self.blocks):
@@ -74,6 +164,25 @@ class ContentEndoer(nn.Module):
         return jnp.concatenate(
             [tower(None, "a"), tower("instance", "b")], axis=-1
         )
+
+
+def merge_encoder_params(dual: Dict, blocks: int = 8) -> Dict:
+    """Repack a dual-tower ContentEndoer param tree (a{i}/b{i} TMPBlocks)
+    into the MergedTMPBlock layout.  Inverse-free by construction: kernels
+    and biases are moved, never transformed."""
+    out = {}
+    for i in range(blocks):
+        m = {}
+        for c, bias_b in (("c0", False), ("c1", True), ("c2", False)):
+            a = dual[f"a{i}"][c]["conv"]
+            b = dual[f"b{i}"][c]["conv"]
+            m[f"{c}_kernel_a"] = a["kernel"]
+            m[f"{c}_kernel_b"] = b["kernel"]
+            m[f"{c}_bias_a"] = a["bias"]
+            if bias_b:
+                m[f"{c}_bias_b"] = b["bias"]
+        out[f"m{i}"] = m
+    return out
 
 
 class ClassPredictor(nn.Module):
