@@ -209,7 +209,11 @@ def resample_feature_batched(
     # point_sample_ng: identical bicubic gather forward, but the backward
     # builds grad_feature with dense matmuls instead of 16 scatter-adds (the
     # contour grid is non-differentiable — host-traced, networks_BC.py:29).
-    sampled = point_sample_ng(feature, grid, True, "bicubic")
+    # Explicit f32: grid_sample now returns the FEATURE dtype (ops/image.py
+    # dtype contract), but BC's point path deliberately keeps the attention
+    # stack + losses in f32 under amp (only the two RefineNet FCs run bf16 —
+    # see RefineNet docstring), so upcast at the boundary.
+    sampled = point_sample_ng(feature, grid, True, "bicubic").astype(jnp.float32)
     valid = (jnp.arange(pts.shape[1])[None, :] < counts[:, None])
     return sampled * valid[..., None].astype(sampled.dtype)
 

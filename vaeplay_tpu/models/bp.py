@@ -113,15 +113,22 @@ class EmitLineParamPredictor(nn.Module):
         # reference's concat-then-reshape of (dpx, dpy, radian) — which
         # interleaves the three blocks rather than zipping per point
         # (networks_BP.py:133-138); reproduced bit-for-bit.
+        # Index math runs f32 (arange/remainder over 720 indices is wrong in
+        # bf16 past 256); the finished embed is cast to the feature compute
+        # dtype so the amp chain stays bf16 downstream.
+        params = params.astype(jnp.float32)
+        sample_pts = sample_pts.astype(jnp.float32)
         param_embed = jnp.broadcast_to(params[:, None, :4], (b, s, 4))
         step = jnp.round(params[:, 4:5])
         step = jnp.where(step == 0, 1.0, step)  # guard mod-by-zero
-        idx = jnp.broadcast_to(jnp.arange(s, dtype=params.dtype)[None, :], (b, s))
-        d_embed = (jnp.remainder(idx, step) == 0).astype(feat_pts.dtype)[..., None]
+        idx = jnp.broadcast_to(jnp.arange(s, dtype=jnp.float32)[None, :], (b, s))
+        d_embed = (jnp.remainder(idx, step) == 0).astype(jnp.float32)[..., None]
         scrambled = jnp.concatenate(
             [sample_pts[:, :, 2], sample_pts[:, :, 3], sample_pts[:, :, 5]], axis=-1
         ).reshape(b, s, 3)
-        embed = jnp.concatenate([param_embed, d_embed, scrambled], axis=-1)  # (B,S,8)
+        embed = jnp.concatenate(
+            [param_embed, d_embed, scrambled], axis=-1
+        ).astype(feat_pts.dtype)  # (B,S,8)
         known = ValueEncoder(self.in_channels, ring=self.ring,
                              name="value_encoder")(embed, train=train)
 
@@ -165,6 +172,12 @@ class EmitLinePredictor(nn.Module):
             )
         # params arrive at x10 scale; stage-2 consumes /VALUE_WEIGHT coords
         # (networks_BP.py:233) — kept functional instead of in-place.
+        # Coordinate math stays f32 under amp: the per-point sample indices
+        # (0..719) and the degree gathers in ellipse_pt_loss are integer-exact
+        # only in f32 (bf16 mantissa stops at 256), and before this upcast the
+        # f32 trig constants promoted feat_pts + the whole param-predictor
+        # chain to f32, erasing the bf16 gain (tools/probe_bp_hlo.py).
+        params = params.astype(jnp.float32)
         params = params.at[:, :4].set(params[:, :4] / VALUE_WEIGHT)
         sample_pts = sample_points_ellipse(params, SAMPLE_COUNT, SAMPLE_SCALE)
         # ONE batched bilinear gather at normalized [-1,1] ellipse coords

@@ -61,9 +61,16 @@ def grid_sample(
 ) -> jnp.ndarray:
     """Grid sample at a set of points — torch F.grid_sample semantics for a
     (B, 1, N, 2)-style grid, returning (B, N, C).  mode ∈ {bilinear, bicubic};
-    out-of-range samples read zeros (padding_mode='zeros')."""
+    out-of-range samples read zeros (padding_mode='zeros').
+
+    Dtype contract: the output carries the FEATURE dtype (torch returns the
+    input dtype too).  Index/weight math always runs in f32 — bf16 pixel
+    coordinates are only exact up to 256, and mixing f32 trig-derived grids
+    into a bf16 feature chain used to promote every downstream activation to
+    f32, silently de-amping whole models (measured +10 ms/phase on BP,
+    tools/probe_bp_hlo.py)."""
     b, h, w, c = feat.shape
-    fx, fy = _unnormalize_grid(grid, h, w, align_corners)
+    fx, fy = _unnormalize_grid(grid.astype(jnp.float32), h, w, align_corners)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -84,8 +91,8 @@ def grid_sample(
         v01 = corner(x0 + 1, y0)
         v10 = corner(x0, y0 + 1)
         v11 = corner(x0 + 1, y0 + 1)
-        wxe = wx[..., None]
-        wye = wy[..., None]
+        wxe = wx[..., None].astype(feat.dtype)
+        wye = wy[..., None].astype(feat.dtype)
         top = v00 * (1 - wxe) + v01 * wxe
         bot = v10 * (1 - wxe) + v11 * wxe
         return top * (1 - wye) + bot * wye
@@ -96,8 +103,9 @@ def grid_sample(
         for j in range(4):  # y offsets -1..2
             row = 0.0
             for i in range(4):  # x offsets -1..2
-                row = row + corner(x0 + (i - 1), y0 + (j - 1)) * kx[i][..., None]
-            out = out + row * ky[j][..., None]
+                row = row + corner(x0 + (i - 1), y0 + (j - 1)) \
+                    * kx[i][..., None].astype(feat.dtype)
+            out = out + row * ky[j][..., None].astype(feat.dtype)
         return out
     raise ValueError(f"unknown grid_sample mode {mode!r}")
 

@@ -51,9 +51,11 @@ def make_bp_train_step(model, compute_dtype=None):
         return total, metrics
 
     def loss_phase2(params, imgs, p1_scaled, p2_targets):
+        # p1_scaled stays f32: they are coordinates (the model upcasts its
+        # ellipse-param input anyway; bf16 would just pre-quantize the GT).
         preds = to_f32(model.apply(
             {"params": to_compute(params, compute_dtype)},
-            to_compute(imgs, compute_dtype), to_compute(p1_scaled, compute_dtype),
+            to_compute(imgs, compute_dtype), p1_scaled,
             train=True, method=model.emit_line_only,
         ))
         pt = _pt_loss(preds, p2_targets)
