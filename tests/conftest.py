@@ -47,3 +47,21 @@ def _drop_compiled_executables_between_modules():
     footprint bounded is still cheap hygiene.)"""
     yield
     jax.clear_caches()
+
+
+@pytest.fixture(scope="module")
+def reference_torch_env():
+    """CPU-shimmed access to the read-only reference: prepends /root/reference
+    to sys.path and no-ops `.cuda()` on Tensor/Module, unwound when the module
+    finishes (ADVICE.md round 3: the previous in-place patches leaked into
+    every later test in the process)."""
+    import os
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference not mounted")
+    with pytest.MonkeyPatch.context() as mp:
+        mp.syspath_prepend("/root/reference")
+        mp.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+        mp.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+        yield mp

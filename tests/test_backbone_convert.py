@@ -10,6 +10,8 @@ import pytest
 from vaeplay_tpu.models.backbone import ResNetFPN, convert_torchvision_state_dict
 from vaeplay_tpu.utils.jitting import jit_init
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 
 def fake_resnet50_state_dict(rng):
     """Random arrays with torchvision resnet50 names/shapes (OIHW)."""
@@ -226,3 +228,24 @@ def test_backbone_npz_route(tmp_path):
     assert set(loaded) == set(loaded_npz)
     np.testing.assert_array_equal(loaded["layer2.1.conv2.weight"],
                                   loaded_npz["layer2.1.conv2.weight"])
+
+
+def test_slim_config_mismatch_raises_clear_error():
+    """A slim-backbone model (layers != (3,4,6,3)) fed a full resnet50
+    checkpoint larger than itself loads the blocks it has; a checkpoint
+    SMALLER than the model raises a clear error naming the cause instead of
+    an opaque KeyError (ADVICE.md round 3)."""
+    from flax.core import unfreeze
+
+    rng = np.random.default_rng(0)
+    model = ResNetFPN(layers=(1, 1, 1, 1), base_width=16)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0)},
+                 jnp.zeros((1, 64, 64, 3)))
+    params, constants = unfreeze(v["params"]), unfreeze(v["constants"])
+
+    # tiny checkpoint with zero blocks in layer1 → clear error
+    sd = {"conv1.weight": rng.normal(size=(16, 3, 7, 7)).astype(np.float32)}
+    for n in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{n}"] = rng.uniform(0.5, 1.5, 16).astype(np.float32)
+    with pytest.raises(ValueError, match="resnet variant"):
+        convert_torchvision_state_dict(sd, params, constants)

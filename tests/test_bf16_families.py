@@ -8,6 +8,9 @@ master-state leaf float32 (utils/amp.py policy; SURVEY.md §7 bullet d).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
 
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
 from vaeplay_tpu.utils.jitting import jit_init

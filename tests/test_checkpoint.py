@@ -3,6 +3,10 @@
 import os
 import tempfile
 
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,3 +129,64 @@ def test_save_restore_style_gan_state():
                              d=_toy_train_state(seed + 2, with_bn=False))
 
     _roundtrip(make(2.0), lambda: make(0.0))
+
+
+def test_restore_migrates_dual_tower_bcp_checkpoint():
+    """Pre-round-3 BCP checkpoints store the ContentEndoer as dual a{i}/b{i}
+    TMPBlock towers; the shipped model uses the merged m{i} layout.  Resume
+    must migrate params AND optimizer moments (ADVICE.md round 3, medium)."""
+    from vaeplay_tpu.models.bcp import ContentEndoer
+    from vaeplay_tpu.train.checkpoint import restore_state, save_state
+    from vaeplay_tpu.train.state import torch_adam
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 1)),
+                    jnp.float32)
+
+    dual = ContentEndoer(blocks=2, merged=False)
+    dv = jit_init(dual, {"params": jax.random.PRNGKey(0)}, x)
+    dstate = TrainState.create(dual.apply, dv["params"], None, torch_adam(1e-3))
+    # advance once so Adam moments are nontrivial and must be migrated too
+    grads = jax.tree_util.tree_map(jnp.ones_like, dstate.params)
+    dstate = dstate.apply_gradients(grads)
+
+    merged = ContentEndoer(blocks=2, merged=True)
+    mv = jit_init(merged, {"params": jax.random.PRNGKey(1)}, x)
+
+    with tempfile.TemporaryDirectory() as d:
+        save_state(Checkpointer(d), 4, dstate)
+        fresh = TrainState.create(merged.apply, mv["params"], None,
+                                  torch_adam(1e-3))
+        restored, tag = restore_state(d, fresh)
+        assert tag == 4
+
+    out_dual = dual.apply({"params": dstate.params}, x, train=False)
+    out_merged = merged.apply({"params": restored.params}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_merged), np.asarray(out_dual),
+                               atol=2e-5, rtol=2e-5)
+
+    # the Adam moments followed the same repack: step count and a moved leaf
+    assert int(restored.step) == int(dstate.step)
+    from flax import serialization
+    ro = serialization.to_state_dict(restored)["opt_state"]
+    do = serialization.to_state_dict(dstate)["opt_state"]
+    flat_r = jax.tree_util.tree_flatten(ro)[0]
+    flat_d = jax.tree_util.tree_flatten(do)[0]
+    assert sum(np.asarray(x).size for x in flat_r) == sum(
+        np.asarray(x).size for x in flat_d)
+
+
+def test_restore_layout_mismatch_raises_clear_error():
+    """A template mismatch with no known migration must name the converter
+    instead of dying in orbax internals."""
+    import pytest
+
+    from vaeplay_tpu.train.checkpoint import restore_state, save_state
+
+    with tempfile.TemporaryDirectory() as d:
+        save_state(Checkpointer(d), 1, _toy_train_state(1.0, with_bn=False))
+        other = _toy_train_state(0.0, with_bn=False)
+        other = other.replace(params={"different": {"w": jnp.zeros((2,))}},
+                              opt_state=other.tx.init(
+                                  {"different": {"w": jnp.zeros((2,))}}))
+        with pytest.raises(ValueError, match="migration"):
+            restore_state(d, other)

@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 
 def _pngs(d):
     out = []

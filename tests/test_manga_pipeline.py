@@ -11,6 +11,8 @@ from vaeplay_tpu.eval.manga import (
     load_manga_from_annotation, load_manga_from_mask, paste_result_on_manga,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 
 @pytest.fixture
 def synthetic_page(tmp_path):

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
 from vaeplay_tpu.utils.jitting import jit_init

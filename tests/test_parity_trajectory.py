@@ -13,7 +13,6 @@ The matching Style_GAN gate (the highest multi-phase-rewiring-risk family)
 lives in test_parity_trajectory_stylegan.py.
 """
 
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +21,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 REFERENCE = "/root/reference"
 IMG, Z, B, STEPS = 32, 32, 4, 20
 LR = 1e-4          # train.py:137
@@ -29,10 +30,7 @@ LAMBDA_MSE = 1e-6  # train.py:15
 
 
 @pytest.fixture(scope="module")
-def pair():
-    sys.path.insert(0, REFERENCE)
-    torch.Tensor.cuda = lambda self, *a, **k: self  # reference hardcodes CUDA
-    torch.nn.Module.cuda = lambda self, *a, **k: self
+def pair(reference_torch_env):
     from models.networks import VaeGan as TorchVaeGan  # reference, read-only
 
     torch.manual_seed(0)

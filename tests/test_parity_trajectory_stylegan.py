@@ -10,7 +10,6 @@ trains both from transplanted weights on identical batches and recorded
 noise and asserts every logged loss curve tracks.
 """
 
-import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,16 +17,15 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 REFERENCE = "/root/reference"
 IMG, Z, B, STEPS = 32, 32, 2, 12
 LR = 1e-4  # train_Style_GAN.py:337-339
 
 
 @pytest.fixture(scope="module")
-def nets():
-    sys.path.insert(0, REFERENCE)
-    torch.Tensor.cuda = lambda self, *a, **k: self  # reference hardcodes CUDA
-    torch.nn.Module.cuda = lambda self, *a, **k: self
+def nets(reference_torch_env):
     from models.network_Style_GAN import (  # reference, read-only
         Discriminator as TD, Generator as TG, StyleEncoder as TE)
 

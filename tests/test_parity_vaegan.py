@@ -7,8 +7,6 @@ discriminator heads, the param head, and the composed loss pieces (recon MSE
 + KL — the BASELINE.md parity metric) agree to float tolerance.
 """
 
-import os
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -17,18 +15,15 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 REFERENCE = "/root/reference"
 IMG = 64
 Z = 32
 
 
 @pytest.fixture(scope="module")
-def models_pair():
-    if not os.path.isdir(REFERENCE):
-        pytest.skip("reference not mounted")
-    sys.path.insert(0, REFERENCE)
-    torch.Tensor.cuda = lambda self, *a, **k: self  # reference hardcodes CUDA
-    torch.nn.Module.cuda = lambda self, *a, **k: self
+def models_pair(reference_torch_env):
     from models.networks import VaeGan as TorchVaeGan  # reference, read-only
 
     torch.manual_seed(0)

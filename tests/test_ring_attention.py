@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast tier (pytest -m 'not slow')
+
 from vaeplay_tpu.ops.attention import _reference_attention
 from vaeplay_tpu.parallel.mesh import create_mesh
 from vaeplay_tpu.parallel.ring_attention import ring_self_attention

@@ -42,13 +42,13 @@ def _tag(compute_dtype) -> str:
     return " [--dtype bf16]" if compute_dtype == jnp.bfloat16 else ""
 
 
-def build_vae(compute_dtype=None):
+def build_vae(compute_dtype=None, batch=None):
     from vaeplay_tpu.data.circles import CircleDataset
     from vaeplay_tpu.models.vae_gan import VaeGan
     from vaeplay_tpu.train.state import TrainState, grouped_transform, torch_rmsprop
     from vaeplay_tpu.train.steps_vae import make_circle_train_step
 
-    IMG, BS = 256, 128
+    IMG, BS = 256, batch or 128
     model = VaeGan(img_size=IMG, z_size=128)
     v = jit_init(model, {"params": jax.random.PRNGKey(0),
                          "noise": jax.random.PRNGKey(1)},
@@ -294,9 +294,15 @@ for _name in _SCAN_FAMILIES:
     FAMILIES[_name] = functools.partial(_bench, BUILDERS[_name])
     FAMILIES[_name + "_bf16"] = functools.partial(_bench, BUILDERS[_name + "_bf16"])
 FAMILIES["bc"] = bench_bc
+# bs16 = the reference trainer's own default batch (train.py:119) so the
+# headline multiplier is defensible at the reference's working point
+# (round-3 verdict weak #6); bs128 stays the throughput row.
+FAMILIES["vae_bs16_bf16"] = functools.partial(
+    _bench, functools.partial(build_vae, jnp.bfloat16, 16))
 # Row order: f32 then bf16 per family, bc between bp and bcp.
 FAMILIES = {k: FAMILIES[k] for k in
-            ("vae", "vae_bf16", "be", "be_bf16", "be_gan", "be_gan_bf16",
+            ("vae", "vae_bf16", "vae_bs16_bf16", "be", "be_bf16",
+             "be_gan", "be_gan_bf16",
              "bp", "bp_bf16", "bc", "bcp", "bcp_bf16",
              "be_font", "be_font_bf16", "style_gan", "style_gan_bf16")}
 

@@ -39,7 +39,8 @@ ITERS = int(os.environ.get("BEGAN_ITERS", 20))
 CDT = jnp.bfloat16
 
 
-def module_fwd_bwd(mod, args, label, iters=ITERS, train=True):
+def module_fwd_bwd(mod, args, label, iters=ITERS, train=True,
+                   takes_train=True):
     v = jit_init(mod, {"params": jax.random.PRNGKey(0)}, *args)
 
     def loss(params):
@@ -48,7 +49,7 @@ def module_fwd_bwd(mod, args, label, iters=ITERS, train=True):
             if col in v:
                 variables[col] = to_compute(v[col], CDT)
         out = mod.apply(variables, *[to_compute(a, CDT) for a in args],
-                        train=train,
+                        **({"train": train} if takes_train else {}),
                         **({"mutable": ["batch_stats"]}
                            if "batch_stats" in v else {}))
         if "batch_stats" in v:
@@ -103,7 +104,8 @@ def run_modules():
     x = jnp.zeros((BS, IMG, IMG, 3))
     m = jnp.zeros((BS, IMG, IMG, 1))
     module_fwd_bwd(ComposeNet(), (x,), "G ComposeNet (backbone+aux+heads)")
-    module_fwd_bwd(ResNetFPN(), (x,), "ResNet50-FPN backbone alone")
+    module_fwd_bwd(ResNetFPN(), (x,), "ResNet50-FPN backbone alone",
+                   takes_train=False)
     module_fwd_bwd(Discriminator(in_size=IMG), (x, m, m),
                    "Discriminator (2 MaskMappers + head)")
     module_fwd_bwd(MaskMapper(in_size=IMG, max_channel=64), (x[..., 0:1], m),

@@ -258,9 +258,29 @@ def convert_torchvision_state_dict(
         tree_c["var"] = jnp.asarray(sd[f"{prefix}.running_var"])
 
     if "conv1.weight" in sd:
+        want = body_p["conv1"]["kernel"].shape[3]
+        have = sd["conv1.weight"].shape[0]
+        if want != have:
+            raise ValueError(
+                f"backbone_ckpt stem width {have} != model stem width {want}: "
+                "slim base_width configs cannot load this checkpoint")
         body_p["conv1"]["kernel"] = conv_w(sd["conv1.weight"])
         put_bn(body_c["bn1"], "bn1")
-        for li, blocks in enumerate([3, 4, 6, 3], start=1):
+        # block counts come from the model's own param tree (a slim-config
+        # model has fewer than resnet50's (3,4,6,3)); the checkpoint must
+        # cover every block the model has (ADVICE.md round 3).
+        for li in range(1, 5):
+            blocks = sum(1 for k in body_p
+                         if k.startswith(f"layer{li}_block"))
+            missing = [bi for bi in range(blocks)
+                       if f"layer{li}.{bi}.conv1.weight" not in sd]
+            if missing:
+                raise ValueError(
+                    f"backbone_ckpt has no layer{li} blocks {missing}: the "
+                    f"model expects {blocks} blocks in layer{li} but the "
+                    "checkpoint is a different resnet variant (slim "
+                    "backbone_layers configs cannot load full resnet50 "
+                    "checkpoints and vice versa)")
             for bi in range(blocks):
                 src = f"layer{li}.{bi}"
                 dst = f"layer{li}_block{bi}"

@@ -115,10 +115,87 @@ def save_state(ckpt: Checkpointer, tag, state) -> str:
     return ckpt.save(tag, pruned)
 
 
+def _missing_paths(template, tree, prefix=""):
+    """Paths present in `template` (a pruned state dict) but absent from the
+    restored `tree` — nonempty means the checkpoint layout does not match."""
+    if not isinstance(template, dict):
+        return []
+    if not isinstance(tree, dict):
+        return [prefix or "/"]
+    out = []
+    for k, v in template.items():
+        p = f"{prefix}/{k}"
+        if k not in tree:
+            out.append(p)
+        else:
+            out.extend(_missing_paths(v, tree[k], p))
+    return out
+
+
+def _dual_encoder_blocks(d) -> int:
+    """Return the block count if `d` is a dual-tower BCP ContentEndoer subtree
+    (a{i}/b{i} TMPBlocks, the pre-round-3 checkpoint layout), else 0."""
+    if not isinstance(d, dict) or "a0" not in d or "b0" not in d:
+        return 0
+    blocks = 0
+    while f"a{blocks}" in d and f"b{blocks}" in d:
+        blocks += 1
+    if set(d) != {f"{t}{i}" for t in "ab" for i in range(blocks)}:
+        return 0
+    a0 = d["a0"]
+    if not (isinstance(a0, dict)
+            and all(c in a0 and isinstance(a0[c], dict) and "conv" in a0[c]
+                    for c in ("c0", "c1", "c2"))):
+        return 0
+    return blocks
+
+
+def _merge_dual_encoder(d: Dict, blocks: int) -> Dict:
+    """Repack a dual-tower subtree into the MergedTMPBlock (m{i}) layout.
+    Mirrors models/bcp.merge_encoder_params but works on plain state dicts so
+    it also applies to optimizer-moment trees (Adam mu/nu mirror the params
+    layout leaf-for-leaf)."""
+    out = {}
+    for i in range(blocks):
+        m = {}
+        for c, bias_b in (("c0", False), ("c1", True), ("c2", False)):
+            a, b = d[f"a{i}"][c]["conv"], d[f"b{i}"][c]["conv"]
+            m[f"{c}_kernel_a"] = a["kernel"]
+            m[f"{c}_kernel_b"] = b["kernel"]
+            m[f"{c}_bias_a"] = a["bias"]
+            if bias_b:
+                m[f"{c}_bias_b"] = b["bias"]
+        out[f"m{i}"] = m
+    return out
+
+
+def migrate_dual_encoder_layout(tree):
+    """Walk a restored state dict and convert every dual-tower ContentEndoer
+    subtree (pre-round-3 BCP checkpoints) to the merged m{i} layout.
+    Returns (tree, number_of_subtrees_converted)."""
+    count = 0
+
+    def walk(node):
+        nonlocal count
+        if not isinstance(node, dict):
+            return node
+        blocks = _dual_encoder_blocks(node)
+        if blocks:
+            count += 1
+            return _merge_dual_encoder(node, blocks)
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(tree), count
+
+
 def restore_state(run_dir: str, state, tag=None) -> Tuple[Any, int]:
     """Restore a checkpoint saved by `save_state` into a freshly-built state
     of the same structure (the template supplies tx/apply_fn statics).
-    Returns (state, tag); tag defaults to the latest in run_dir."""
+    Returns (state, tag); tag defaults to the latest in run_dir.
+
+    Checkpoints written before the BCP merged-encoder change (dual a{i}/b{i}
+    TMPBlock towers instead of m{i} MergedTMPBlocks) are migrated in place —
+    params and optimizer moments — via `migrate_dual_encoder_layout`."""
     ckpt = Checkpointer(run_dir)
     if tag is None:
         tag = ckpt.latest()
@@ -126,6 +203,20 @@ def restore_state(run_dir: str, state, tag=None) -> Tuple[Any, int]:
         raise FileNotFoundError(f"no checkpoints found under {run_dir}")
     template = serialization.to_state_dict(jax.device_get(state))
     pruned = _prune_empty(template)
-    tree = ckpt.restore(tag, template=pruned)
+    tree = ckpt.restore(tag)
+    # Structure check BEFORE merging: orbax partial restores silently return
+    # the template's own (fresh-init) values for keys missing from the saved
+    # tree, which would turn a layout mismatch into a silent non-restore.
+    missing = _missing_paths(pruned, tree)
+    if missing:
+        migrated, n = migrate_dual_encoder_layout(tree)
+        if n == 0 or _missing_paths(pruned, migrated):
+            raise ValueError(
+                f"checkpoint {run_dir}/{tag} does not match the current state "
+                f"layout (missing: {missing[:5]}{'...' if len(missing) > 5 else ''}) "
+                "and no known migration applies (pre-round-3 dual-tower BCP "
+                "checkpoints are converted by "
+                "train/checkpoint.migrate_dual_encoder_layout)")
+        tree = migrated
     merged = _merge_restored(template, tree)
     return serialization.from_state_dict(state, merged), tag
