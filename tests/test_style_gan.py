@@ -162,3 +162,102 @@ def test_style_gan_train_step(sg_state):
         a = np.asarray(jax.tree_util.tree_leaves(old.params)[0])
         bb = np.asarray(jax.tree_util.tree_leaves(new.params)[0])
         assert np.abs(bb - a).max() > 0, f"{name} params did not update"
+
+
+def _sorted_batch(rng, b, k0):
+    """A batch sorted label-0-first with exactly k0 zeros."""
+    labels = np.concatenate([np.zeros(k0, np.int32),
+                             np.ones(b - k0, np.int32)])
+    x = rng.uniform(0, 1, (b, IMG, IMG, 3)).astype(np.float32)
+    z = rng.normal(size=(b, Z)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(z), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("k0,split", [
+    (0, (0, 8)),      # all label-1, conv_1 branch never runs
+    (3, (4, 8)),      # imbalanced, overlap region blended
+    (4, (4, 4)),      # balanced, exact halves
+    (8, (8, 0)),      # all label-0, conv_2 branch never runs
+    (5, (8, 8)),      # slack in both branches (full-capacity degenerate)
+])
+def test_bucketed_generator_matches_blended(sg_state, k0, split):
+    """Label-bucketed gated convs (MyConv2d split=...) are exact-math equal
+    to the reference's both-branches blended form — forward AND gradients
+    (round-3 verdict item 2)."""
+    (e_model, g_model, d_model), ss = sg_state
+    x, z, labels = _sorted_batch(np.random.default_rng(17 + k0), 8, k0)
+
+    @jax.jit
+    def fwd_blended(p):
+        return g_model.apply({"params": p}, x, z, labels, train=True)
+
+    @jax.jit
+    def fwd_bucketed(p):
+        return g_model.apply({"params": p}, x, z, labels, train=True,
+                             split=split)
+
+    out_b = fwd_blended(ss.g.params)
+    out_s = fwd_bucketed(ss.g.params)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(p, f):
+        return jnp.sum(jnp.square(f(p)))
+
+    gb = jax.grad(loss)(ss.g.params, fwd_blended)
+    gs = jax.grad(loss)(ss.g.params, fwd_bucketed)
+
+    def cmp(path, vb, vs):
+        np.testing.assert_allclose(
+            np.asarray(vs), np.asarray(vb), atol=3e-4, rtol=1e-3,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+    jax.tree_util.tree_map_with_path(cmp, gb, gs)
+
+
+def test_bucketed_train_step_matches_blended(sg_state):
+    """FOUR full fused train steps with split=(k0p,k1p) on sorted batches
+    must produce the same loss curves as the blended step (recorded noise).
+
+    Multi-step metric tracking is the meaningful gate here: params updated
+    at step k feed every loss at step k+1, so a gradient-wiring difference
+    compounds into the curves.  Params themselves are NOT compared exactly —
+    Adam turns the sign of a zero-gradient parameter's rounding noise into a
+    full ±lr step (e.g. StyleUp's ConvTranspose bias feeds a parameter-free
+    instance norm, so its true gradient is identically zero and both forms
+    take lr-sized random walks on it)."""
+    (e_model, g_model, d_model), ss = sg_state
+    step = make_style_gan_train_step(e_model, g_model, d_model, z_dim=Z,
+                                     recorded_noise=True)
+    rng = np.random.default_rng(23)
+    b = 8
+    ss1 = ss2 = ss
+    for i, (k0, split) in enumerate([(5, (8, 4)), (4, (4, 4)),
+                                     (2, (4, 8)), (7, (8, 1))]):
+        x_t, z_s, labels = _sorted_batch(rng, b, k0)
+        x_c = jnp.asarray(
+            rng.uniform(0, 1, (b, IMG, IMG, 3)).astype(np.float32))
+        eps = jnp.asarray(rng.normal(size=(b, Z)).astype(np.float32))
+        ss1, m1 = step(ss1, x_t, x_c, labels, eps, z_s)
+        ss2, m2 = step(ss2, x_t, x_c, labels, eps, z_s, split)
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m2[k]), float(m1[k]), atol=5e-4 * (i + 1),
+                rtol=5e-4 * (i + 1), err_msg=f"step {i} metric {k}")
+
+
+def test_sort_batch_by_label_buckets():
+    from vaeplay_tpu.train.steps_style_gan import sort_batch_by_label
+
+    labels = np.array([1, 0, 1, 0, 0, 1, 1, 1], np.int32)
+    arr = np.arange(8, dtype=np.float32)
+    (arr_s,), lab_s, (k0p, k1p) = sort_batch_by_label(labels, arr, pad=2)
+    assert lab_s.tolist() == [0, 0, 0, 1, 1, 1, 1, 1]
+    # stable sort keeps original order within each label
+    assert arr_s.tolist() == [1.0, 3.0, 4.0, 0.0, 2.0, 5.0, 6.0, 7.0]
+    assert (k0p, k1p) == (4, 6)
+    # capacities always cover the true counts and never exceed B
+    for k0 in range(9):
+        lab = np.concatenate([np.zeros(k0, np.int32), np.ones(8 - k0, np.int32)])
+        _, _, (a, b) = sort_batch_by_label(lab, arr, pad=8)
+        assert a >= k0 and b >= 8 - k0 and a <= 8 and b <= 8

@@ -234,7 +234,7 @@ def build_be_font(compute_dtype=None):
             step, fs, args, 50, BS)
 
 
-def build_style_gan(compute_dtype=None, batch=None):
+def build_style_gan(compute_dtype=None, batch=None, bucketed=False):
     from vaeplay_tpu.data.be_data import SyntheticBubbleDataset
     from vaeplay_tpu.models.style_gan import Discriminator, Generator, StyleEncoder
     from vaeplay_tpu.train.state import TrainState, torch_adam
@@ -258,12 +258,28 @@ def build_style_gan(compute_dtype=None, batch=None):
     step = make_style_gan_train_step(e_model, g_model, d_model, Z,
                                      compute_dtype=compute_dtype)
     b = SyntheticBubbleDataset(img_size=IMG).sample_batch(BS)
-    args = (jnp.asarray(b["imgs"]),
-            jnp.asarray(np.repeat(b["bimgs"], 3, axis=-1)),
-            jnp.asarray(b["labels"] % 2), jax.random.PRNGKey(3))
+    labels = np.asarray(b["labels"] % 2)
+    imgs, bimgs = np.asarray(b["imgs"]), np.repeat(b["bimgs"], 3, axis=-1)
     note = "reference default" if BS == 32 else "half reference batch"
-    return (f"Style_GAN 256px z512 bs{BS} ({note})"
-            f"{_tag(compute_dtype)}", step, ss, args, 20, BS)
+    label_txt = f"Style_GAN 256px z512 bs{BS} ({note}){_tag(compute_dtype)}"
+    if bucketed:
+        # the CLI's --label_bucketing path: batch sorted by label, each gated
+        # conv branch runs only its sub-batch (train_style_gan wires the same
+        # sort + bucket); measured at the balanced (B/2, B/2) bucket, the
+        # modal one for ~Bernoulli(1/2) labels at pad=B/4
+        from vaeplay_tpu.train.steps_style_gan import sort_batch_by_label
+        labels = np.concatenate(
+            [np.zeros(BS // 2, np.int64), np.ones(BS - BS // 2, np.int64)])
+        (imgs, bimgs), labels, split = sort_batch_by_label(
+            labels, imgs, bimgs, pad=max(1, BS // 4))
+        base_step = step
+        step = (lambda st, xt, xc, lb, rng:
+                base_step(st, xt, xc, lb, rng, split))
+        label_txt = (f"Style_GAN 256px z512 bs{BS} [label-bucketed "
+                     f"{split[0]}+{split[1]}]{_tag(compute_dtype)}")
+    args = (jnp.asarray(imgs), jnp.asarray(bimgs),
+            jnp.asarray(labels), jax.random.PRNGKey(3))
+    return (label_txt, step, ss, args, 20, BS)
 
 
 def _bench(build):
@@ -299,12 +315,18 @@ FAMILIES["bc"] = bench_bc
 # (round-3 verdict weak #6); bs128 stays the throughput row.
 FAMILIES["vae_bs16_bf16"] = functools.partial(
     _bench, functools.partial(build_vae, jnp.bfloat16, 16))
+# the CLI's --label_bucketing fast path (round-3 verdict item 2)
+FAMILIES["style_gan_bucketed_bf16"] = functools.partial(
+    _bench, functools.partial(build_style_gan, jnp.bfloat16, bucketed=True))
+FAMILIES["style_gan_bucketed"] = functools.partial(
+    _bench, functools.partial(build_style_gan, None, bucketed=True))
 # Row order: f32 then bf16 per family, bc between bp and bcp.
 FAMILIES = {k: FAMILIES[k] for k in
             ("vae", "vae_bf16", "vae_bs16_bf16", "be", "be_bf16",
              "be_gan", "be_gan_bf16",
              "bp", "bp_bf16", "bc", "bcp", "bcp_bf16",
-             "be_font", "be_font_bf16", "style_gan", "style_gan_bf16")}
+             "be_font", "be_font_bf16", "style_gan", "style_gan_bf16",
+             "style_gan_bucketed", "style_gan_bucketed_bf16")}
 
 
 def _parse_existing_rows(md_path):

@@ -22,6 +22,7 @@ from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, path_labeled_transform
 from vaeplay_tpu.train.steps_bc import (
     BridgeTracer, make_bc_mask_step, make_bc_train_step)
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init, supports_host_callback
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -165,6 +166,7 @@ def main(argv=None):
                  if external else None)
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
     tracer = BridgeTracer(args.img_size, stride, args.max_points)
 
     def trace_and_train(state, acc, cnt, tensors, fut):
@@ -203,6 +205,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"epoch[{epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         if pending is not None:  # flush the overlap pipeline at epoch end
             state, acc, cnt = trace_and_train(state, acc, cnt, *pending)
         if epoch >= 10 or args.epochs <= 10:  # reference gates at epoch 10

@@ -22,6 +22,7 @@ from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, torch_adam
 from vaeplay_tpu.train.steps_bcp import make_bcp_train_step
 from vaeplay_tpu.train.steps_be_gan import GanState
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -109,6 +110,7 @@ def main(argv=None):
                                compute_dtype=resolve_dtype(args.dtype))
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
 
     if args.path:
         dset = BCPDataset(args.path, args.img_size, args.max_points)
@@ -137,6 +139,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt_m)
                 print(f"[epoch {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         # full state: every net's params AND optimizer state
         save_state(ckpt, epoch, gs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")

@@ -24,6 +24,7 @@ from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam
 from vaeplay_tpu.train.steps_be import make_be_eval_step, make_be_train_step
 from vaeplay_tpu.utils.jitting import jit_init
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.viz import makedirs
 
 AVG_KEYS = ("loss_edge", "loss_mask")
@@ -118,6 +119,7 @@ def main(argv=None):
     step = make_be_train_step(model, compute_dtype=resolve_dtype(args.dtype))
     eval_step = make_be_eval_step(model)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     @jax.jit
@@ -145,6 +147,8 @@ def main(argv=None):
             if (i + 1) % args.viz_freq == 0:
                 avg = fetch_averages(acc, cnt)
                 print(" ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
                 preds = eval_step(state, imgs)
                 save_test_batch(imgs, preds, args.res_output, f"{epoch}_{i+1}")
         save_state(ckpt, epoch, state)

@@ -24,6 +24,7 @@ from vaeplay_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.steps_be_font import create_font_state, make_be_font_train_step
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
@@ -86,6 +87,7 @@ def main(argv=None):
                                    compute_dtype=resolve_dtype(args.dtype))
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
 
     if args.fonts_path and args.pages_json:
         batches_fn = _real_data_batches(args)
@@ -107,6 +109,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"Epoch [{epoch}][{i+1}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         # full state: every net's params AND optimizer state
         save_state(ckpt, epoch, fs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")

@@ -22,6 +22,7 @@ from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, frozen_backbone_adam, torch_adam
 from vaeplay_tpu.train.steps_be_gan import GanState, make_be_gan_train_step
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -96,6 +97,7 @@ def main(argv=None):
                                   compute_dtype=resolve_dtype(args.dtype))  # two-program split
     astep = accumulating(step, fuse=False)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
 
     if args.path:
         from vaeplay_tpu.data.be_gan_data import BEGanDataset
@@ -137,6 +139,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"[Epoch: {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         # full GanState: G and D params AND both optimizer states
         save_state(ckpt, epoch, gs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")

@@ -21,6 +21,7 @@ from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState
 from vaeplay_tpu.train.steps_bp import make_bp_train_step
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs
 
@@ -81,6 +82,7 @@ def main(argv=None):
     step = make_bp_train_step(model, compute_dtype=resolve_dtype(args.dtype))
     astep = accumulating(step)
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
 
     if args.path:
         dset = BPDataset(args.path, args.img_size)
@@ -106,6 +108,8 @@ def main(argv=None):
                 avg = fetch_averages(acc, cnt)
                 print(f"[epoch {epoch}] " + " ".join(
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         save_state(ckpt, epoch, state)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
 

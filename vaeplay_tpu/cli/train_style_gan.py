@@ -21,6 +21,7 @@ from vaeplay_tpu.train.checkpoint import Checkpointer, restore_state, save_state
 from vaeplay_tpu.train.metrics import accumulating, fetch_averages
 from vaeplay_tpu.train.state import TrainState, torch_adam
 from vaeplay_tpu.train.steps_style_gan import StyleGanState, make_style_gan_train_step
+from vaeplay_tpu.utils.metrics_log import MetricsLogger
 from vaeplay_tpu.utils.jitting import jit_init
 from vaeplay_tpu.utils.viz import makedirs, save_image_grid
 
@@ -50,6 +51,11 @@ def main(argv=None):
                              "master params/opt state/BN stats/losses stay f32")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
+    parser.add_argument("--label_bucketing", dest="label_bucketing",
+                        default=True, action=argparse.BooleanOptionalAction,
+                        help="sort each batch by label and run each gated-conv "
+                             "branch only on its sub-batch (exact math, ~40-50%% "
+                             "fewer G conv FLOPs; single-device, 2-class only)")
     args = parser.parse_args(argv)
 
     dest_name = os.path.join("Style_GAN", datetime.now().strftime("%Y%m%d-%H%M%S"))
@@ -86,8 +92,27 @@ def main(argv=None):
     from vaeplay_tpu.utils.amp import resolve_dtype
     step = make_style_gan_train_step(e_model, g_model, d_model, args.z_dim,
                                      compute_dtype=resolve_dtype(args.dtype))
-    astep = accumulating(step)
+    # label bucketing: sub-batch slicing on the batch axis is incompatible
+    # with a data-sharded mesh (it would cross shard boundaries), and the
+    # gate formula is binary — restrict to 1 device / 2 classes.
+    bucketing = (args.label_bucketing and args.num_of_classes == 2
+                 and mesh.devices.size == 1)
+    bucket_pad = max(1, args.batchsize // 4)
+    _asteps = {}
+
+    def astep_for(split):
+        # one accumulating program per (k0p, k1p) bucket; buckets are padded
+        # to multiples of batchsize/4 so only a handful ever compile
+        if split not in _asteps:
+            if split is None:
+                _asteps[split] = accumulating(step)
+            else:
+                _asteps[split] = accumulating(
+                    lambda st, xt, xc, lb, rng: step(st, xt, xc, lb, rng,
+                                                     split))
+        return _asteps[split]
     ckpt = Checkpointer(args.model_output)
+    mlog = MetricsLogger(args.model_output)
     rng = jax.random.PRNGKey(args.seed + 3)
 
     if args.path:
@@ -111,13 +136,21 @@ def main(argv=None):
             x_target = b["imgs"]
             x_content = np.repeat(b["bimgs"], 3, axis=-1)
             labels = (b["labels"] % args.num_of_classes).astype(np.int64)
+            split = None
+            if bucketing:
+                from vaeplay_tpu.train.steps_style_gan import sort_batch_by_label
+                (x_target, x_content), labels, split = sort_batch_by_label(
+                    labels, x_target, x_content, pad=bucket_pad)
             x_target, x_content, labels = shard_batch(
                 mesh, (x_target, x_content, labels))
             rng, sub = jax.random.split(rng)
-            ss, acc, cnt = astep(ss, acc, cnt, x_target, x_content, labels, sub)
+            ss, acc, cnt = astep_for(split)(ss, acc, cnt, x_target, x_content,
+                                            labels, sub)
             if (i + 1) % args.viz_freq == 0:
                 avg = fetch_averages(acc, cnt)
                 print(" ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
+                mlog.log(epoch * args.iterations + i + 1,
+                         {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
         # full state: every net's params AND optimizer state
         save_state(ckpt, epoch, ss)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")

@@ -28,7 +28,14 @@ BUBBLE_TYPES = {"Oval": 1, "Explosion": 2, "NoFrame": 3, "Box": 4}
 
 def _square_crops(img: np.ndarray, boxes: List[List[int]], bimage_size: int):
     """Square-pad each box crop with white and resize to bimage_size
-    (test_BE_manga.py:255-280)."""
+    (test_BE_manga.py:255-280).
+
+    Crops stay uint8: the /255 normalization happens ON DEVICE
+    (eval/predictor.py `_cast_pad` — exact same f32 values), so the serve
+    path uploads 4x fewer bytes through the tunnel.  The upload was the
+    dominant page-serve cost: 839 ms/page of sequential predict at 512px
+    f32 crops (tools/probe_manga_stages.py, round 4) was almost entirely
+    host→device transfer, not the ~34 ms device forward."""
     crops, recon = [], []
     for xmin, ymin, xmax, ymax in boxes:
         width, height = xmax - xmin, ymax - ymin
@@ -45,7 +52,7 @@ def _square_crops(img: np.ndarray, boxes: List[List[int]], bimage_size: int):
             crop = tmp
         crop = np.asarray(
             Image.fromarray(crop).resize((bimage_size, bimage_size)))
-        crops.append(crop.astype(np.float32) / 255.0)
+        crops.append(crop)
         recon.append([ax, ay, crop_size])
     return crops, recon
 
@@ -73,7 +80,7 @@ def load_manga_from_mask(img_path: str, mask_path: str, bimage_size: int):
         labels.append(int(label_mask[pos][0]))
     crops, recon = _square_crops(img, boxes, bimage_size)
     return {
-        "images": np.stack(crops) if crops else np.zeros((0, bimage_size, bimage_size, 3), np.float32),
+        "images": np.stack(crops) if crops else np.zeros((0, bimage_size, bimage_size, 3), np.uint8),
         "recon_info": np.asarray(recon, np.int64).reshape(-1, 3),
         "masks": masks,
         "labels": np.asarray(labels, np.int64),
@@ -111,7 +118,7 @@ def load_manga_from_annotation(img_path: str, anno_path: str, bimage_size: int):
         labels.append(BUBBLE_TYPES.get(sub, -1))
     crops, recon = _square_crops(img, boxes, bimage_size)
     return {
-        "images": np.stack(crops) if crops else np.zeros((0, bimage_size, bimage_size, 3), np.float32),
+        "images": np.stack(crops) if crops else np.zeros((0, bimage_size, bimage_size, 3), np.uint8),
         "recon_info": np.asarray(recon, np.int64).reshape(-1, 3),
         "masks": [np.zeros((0,))] * len(boxes),
         "labels": np.asarray(labels, np.int64),

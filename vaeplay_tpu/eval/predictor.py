@@ -14,11 +14,30 @@ rows of the padded output equal the rows of any other batch shape; the
 equivalence is asserted by tests/test_predictor.py.
 """
 
+import functools
 from typing import Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _cast_pad(x: jnp.ndarray, bucket: int) -> jnp.ndarray:
+    """Normalize uint8 crops to f32/255 and edge-repeat-pad to the bucket
+    size ON DEVICE.  Uploading uint8 and padding device-side cuts the
+    host→device transfer 4x (dtype) times bucket/n (padding) — the transfer,
+    not the forward, dominates tunnel-attached page serving
+    (tools/probe_manga_stages.py).  uint8→f32/255 on device is bit-identical
+    to the host-side conversion it replaces; this program is a few fused ops,
+    so the per-distinct-n compile is negligible next to the bucketed forward."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    n = x.shape[0]
+    if bucket != n:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (bucket - n,) + x.shape[1:])], axis=0)
+    return x
 
 
 def next_bucket(n: int, max_batch: int) -> int:
@@ -50,11 +69,9 @@ class BucketedPredictor:
     def _run_bucket(self, imgs: np.ndarray) -> Dict[str, np.ndarray]:
         n = imgs.shape[0]
         bucket = next_bucket(n, self.max_batch)
-        if bucket != n:
-            pad = np.broadcast_to(imgs[:1], (bucket - n,) + imgs.shape[1:])
-            imgs = np.concatenate([imgs, pad], axis=0)
         self.compiled_buckets.add(bucket)
-        out = self._step(self._state, jnp.asarray(imgs))
+        # upload the exact-n (possibly uint8) batch; cast + pad on device
+        out = self._step(self._state, _cast_pad(jnp.asarray(imgs), bucket))
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def __call__(self, imgs) -> Dict[str, np.ndarray]:

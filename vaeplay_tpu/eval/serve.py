@@ -63,34 +63,68 @@ class ServeStats(NamedTuple):
 
 
 def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
-                res_output: str, verbose: bool = True) -> ServeStats:
-    """Run every job through load → predict → paste with the predict stage
-    pipelined on a dispatch thread.  Bad pages are skipped with a message
-    (reference blanket-except, test_BE_manga.py:460-461); empty pages (no
-    bubbles) are counted separately so callers can tell them apart from
-    failures even with verbose=False.  Returns a ServeStats
+                res_output: str, verbose: bool = True,
+                load_workers: int = 4, paste_workers: int = 4) -> ServeStats:
+    """Run every job through load → predict → paste with every stage off the
+    critical path (round-3 VERDICT item 5: pages are embarrassingly parallel,
+    test_BE_manga.py:414-462, but the host image work was single-threaded):
+
+      load   `load_workers` threads decode/crop/resize pages ahead
+             (window-bounded so memory stays O(workers), not O(pages));
+      predict a single dedicated dispatch thread owns ALL device calls, in
+             page order — the one-TPU-program-stream ordering the axon
+             runtime is safe under;
+      paste  `paste_workers` threads wait for their page's predict and do the
+             page-resolution paste + PNG encode (PIL/zlib release the GIL).
+
+    Per-page outputs are written to per-page files by pure per-page functions,
+    so results are identical to the sequential loop's — only wall-clock and
+    the interleaving of progress prints change.  Bad pages are skipped with a
+    message (reference blanket-except, test_BE_manga.py:460-461); empty pages
+    (no bubbles) are counted separately.  Returns a ServeStats
     (written, empty, failed) breakdown."""
     n_done = n_empty = n_failed = 0
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        pending = None  # (job, page, future) for the page whose predict is in flight
+    def paste_task(job, page, fut):
+        # returns True on success; exceptions are counted by the collector
+        paste_page(job, page, fut.result(), res_output)
+        if verbose:
+            print(f"{job.name}: {page['images'].shape[0]} bubbles → "
+                  f"{os.path.join(res_output, job.name)}.png")
+        return True
 
-        def flush(p):
+    with ThreadPoolExecutor(max_workers=max(1, load_workers)) as lp, \
+            ThreadPoolExecutor(max_workers=1) as dp, \
+            ThreadPoolExecutor(max_workers=max(1, paste_workers)) as pp:
+        jobs_it = iter(jobs)
+        window = max(1, load_workers) + 2
+        load_q: deque = deque()   # (job, load future), submission order
+        paste_q: deque = deque()  # (job, paste future)
+
+        def fill_loads():
+            while len(load_q) < window:
+                try:
+                    job = next(jobs_it)
+                except StopIteration:
+                    return
+                load_q.append((job, lp.submit(load_page, job, img_size)))
+
+        def collect_paste(p):
             nonlocal n_done, n_failed
-            job, page, fut = p
+            job, fut = p
             try:
-                paste_page(job, page, fut.result(), res_output)
+                fut.result()
                 n_done += 1
-                if verbose:
-                    print(f"{job.name}: {page['images'].shape[0]} bubbles → "
-                          f"{os.path.join(res_output, job.name)}.png")
             except Exception as e:  # skip bad pages (test_BE_manga.py:460)
                 n_failed += 1
                 print(f"skip {job.img_path}: {e}")
 
-        for job in jobs:
+        fill_loads()
+        while load_q:
+            job, lf = load_q.popleft()
+            fill_loads()
             try:
-                page = load_page(job, img_size)
+                page = lf.result()
             except Exception as e:
                 n_failed += 1
                 print(f"skip {job.img_path}: {e}")
@@ -100,12 +134,12 @@ def serve_pages(predict: Callable, jobs: Sequence[PageJob], img_size: int,
                 if verbose:
                     print(f"{job.name}: no bubbles found")
                 continue
-            fut = pool.submit(predict, page["images"])
-            if pending is not None:
-                flush(pending)  # host paste of page i-1 overlaps predict of page i
-            pending = (job, page, fut)
-        if pending is not None:
-            flush(pending)
+            fut = dp.submit(predict, page["images"])
+            paste_q.append((job, pp.submit(paste_task, job, page, fut)))
+            while len(paste_q) > 2 * max(1, paste_workers):
+                collect_paste(paste_q.popleft())
+        while paste_q:
+            collect_paste(paste_q.popleft())
     return ServeStats(n_done, n_empty, n_failed)
 
 

@@ -120,8 +120,13 @@ class EmitLineParamPredictor(nn.Module):
         sample_pts = sample_pts.astype(jnp.float32)
         param_embed = jnp.broadcast_to(params[:, None, :4], (b, s, 4))
         step = jnp.round(params[:, 4:5])
-        step = jnp.where(step == 0, 1.0, step)  # guard mod-by-zero
         idx = jnp.broadcast_to(jnp.arange(s, dtype=jnp.float32)[None, :], (b, s))
+        # round(step) == 0 (an untrained net's tiny predictions) makes the
+        # remainder NaN and the == 0 test FALSE — exactly the reference's
+        # torch.remainder(arange, 0) semantics (networks_BP.py:132); a
+        # previous where-guard here forced step→1 (every point flagged),
+        # a transplant-visible divergence caught by the BP trajectory gate.
+        # No gradient flows through the boolean, so the NaN is inert.
         d_embed = (jnp.remainder(idx, step) == 0).astype(jnp.float32)[..., None]
         scrambled = jnp.concatenate(
             [sample_pts[:, :, 2], sample_pts[:, :, 3], sample_pts[:, :, 5]], axis=-1

@@ -52,7 +52,22 @@ class StyleEncoder(nn.Module):
 
 
 class MyConv2d(nn.Module):
-    """Label-gated dual conv (network_Style_GAN.py:72-79)."""
+    """Label-gated dual conv (network_Style_GAN.py:72-79).
+
+    The reference form computes BOTH branch convs for every sample and
+    blends `a*(1-y) + b*y` — 2x the conv FLOPs the math needs, since each
+    sample uses exactly one branch.  `split=(k0p, k1p)` enables the
+    label-bucketed form for batches SORTED by label (all label-0 rows
+    first): conv_1 runs on the first k0p rows, conv_2 on the last k1p rows,
+    and the same gate formula assembles the output.  Exact for any static
+    k0p >= #label-0 and k1p >= #label-1 (rows outside a branch's slice have
+    the gate weight for that branch identically 0, so the zero-padding never
+    reaches the output; all ops in ConvBlock — conv, bias, instance norm,
+    activation — are per-sample).  FLOPs scale by (k0p+k1p)/(2B) vs the
+    blended form; split sizes are trace-time constants so each bucket is
+    one compiled program (equivalence + gradient tests in
+    tests/test_style_gan.py).
+    """
 
     features: int
     kernel_size: int
@@ -61,15 +76,28 @@ class MyConv2d(nn.Module):
     activate: str = "relu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, label: jnp.ndarray, train: bool = True):
-        a = ConvBlock(self.features, self.kernel_size, stride=self.stride,
-                      bn=self.bn, activate=self.activate, name="conv_1")(
-            x, train=train)
-        b = ConvBlock(self.features, self.kernel_size, stride=self.stride,
-                      bn=self.bn, activate=self.activate, name="conv_2")(
-            x, train=train)
+    def __call__(self, x: jnp.ndarray, label: jnp.ndarray, train: bool = True,
+                 split=None):
+        conv_1 = ConvBlock(self.features, self.kernel_size, stride=self.stride,
+                           bn=self.bn, activate=self.activate, name="conv_1")
+        conv_2 = ConvBlock(self.features, self.kernel_size, stride=self.stride,
+                           bn=self.bn, activate=self.activate, name="conv_2")
         lab = label.reshape(-1, 1, 1, 1).astype(x.dtype)
-        return a * (1.0 - lab) + b * lab
+        if split is None:
+            return conv_1(x, train=train) * (1.0 - lab) + conv_2(
+                x, train=train) * lab
+        k0p, k1p = split
+        B = x.shape[0]
+        if k0p <= 0:
+            return conv_2(x[B - k1p:], train=train) * lab[B - k1p:]
+        if k1p <= 0:
+            return conv_1(x[:k0p], train=train) * (1.0 - lab[:k0p])
+        a = conv_1(x[:k0p], train=train)
+        b = conv_2(x[B - k1p:], train=train)
+        pad = [(0, 0)] * (a.ndim - 1)
+        a_full = jnp.pad(a, [(0, B - k0p)] + pad)
+        b_full = jnp.pad(b, [(B - k1p, 0)] + pad)
+        return a_full * (1.0 - lab) + b_full * lab
 
 
 class StyleUp(nn.Module):
@@ -114,17 +142,21 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, style_code: jnp.ndarray,
-                 labels: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+                 labels: jnp.ndarray, train: bool = True,
+                 split=None) -> jnp.ndarray:
+        """split=(k0p, k1p): label-bucketed gated convs for batches sorted by
+        label (see MyConv2d) — halves the gated-conv FLOPs on a balanced
+        batch; None = the reference's both-branches blended form."""
         s = self.image_size
         plane = MLP(self.z_dim, s * s, 3, name="mlp")(style_code)
         plane = plane.reshape(-1, s, s, 1)
         h = jnp.concatenate([x, plane], axis=-1)
-        h = MyConv2d(32, 3, activate=None, name="conv1")(h, labels, train=train)
-        h = MyConv2d(32, 3, activate=None, name="conv2")(h, labels, train=train)
-        d1 = MyConv2d(64, 4, stride=2, bn="instance", name="down1")(h, labels, train=train)
-        d2 = MyConv2d(128, 4, stride=2, bn="instance", name="down2")(d1, labels, train=train)
-        d3 = MyConv2d(256, 4, stride=2, bn="instance", name="down3")(d2, labels, train=train)
-        d4 = MyConv2d(256, 4, stride=2, bn="instance", name="down4")(d3, labels, train=train)
+        h = MyConv2d(32, 3, activate=None, name="conv1")(h, labels, train=train, split=split)
+        h = MyConv2d(32, 3, activate=None, name="conv2")(h, labels, train=train, split=split)
+        d1 = MyConv2d(64, 4, stride=2, bn="instance", name="down1")(h, labels, train=train, split=split)
+        d2 = MyConv2d(128, 4, stride=2, bn="instance", name="down2")(d1, labels, train=train, split=split)
+        d3 = MyConv2d(256, 4, stride=2, bn="instance", name="down3")(d2, labels, train=train, split=split)
+        d4 = MyConv2d(256, 4, stride=2, bn="instance", name="down4")(d3, labels, train=train, split=split)
 
         skip1 = ConvBlock(256, 3, bn="instance", name="skip1")(d3, train=train)
         up1 = StyleUp(256, name="up1")(d4, skip1, train=train)

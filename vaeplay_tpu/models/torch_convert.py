@@ -214,3 +214,199 @@ def style_discriminator_from_torch(sd: Dict[str, np.ndarray], image_size: int):
     p["aux0"] = _convblock(sd, "aux_convs.0")
     p["aux1"] = _convblock(sd, "aux_convs.1")
     return p
+
+
+# ---------------------------------------------------------------------------
+# BP (reference models/networks_BP.py) transplantation — used by the BP
+# trajectory-parity gate (tests/test_parity_trajectory_bp.py).
+
+def _attnblock(sd, prefix):
+    """reference blocks.SelfAttentionBlock → flax SelfAttentionBlock params
+    (q/k/v are 1x1 Conv2d blocks with bias; gamma is a (1,) scalar)."""
+    return {"q": _convblock(sd, f"{prefix}.q"),
+            "k": _convblock(sd, f"{prefix}.k"),
+            "v": _convblock(sd, f"{prefix}.v"),
+            "gamma": np.asarray(sd[f"{prefix}.gamma"])}
+
+
+def bp_from_torch(sd: Dict[str, np.ndarray]):
+    """reference BP ComposeNet (networks_BP.py:242-262) state_dict → flax
+    params for models/bp.ComposeNet.  The reference EllipseParamPredictor's
+    conv stack (networks_BP.py:46-51) is dead code — defined but skipped in
+    forward (:62-66) — so its tensors are intentionally not mapped."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc = {f"conv{i}": _convblock(sd, f"encoder.convs.{i}") for i in range(7)}
+    ell = {f"fc{i}": _linblock(sd, f"ellipse_predictor.fcs.{i}")
+           for i in range(3)}
+    # fc0 consumes the flattened 4x4 avgpool: torch flattens NCHW (c,h,w),
+    # flax flattens NHWC (h,w,c) — permute the input axis accordingly
+    ell["fc0"]["fc"]["kernel"] = _lin_from_nchw_flat(
+        sd["ellipse_predictor.fcs.0.fc.0.weight"], 256, 4, 4)
+    elp = "emit_line_predictor"
+    emit = {f"conv{i}": _convblock(sd, f"{elp}.convs.{i}") for i in range(7)}
+    pp = f"{elp}.param_predictor"
+    ve = {f"fc{i}": _linblock(sd, f"{pp}.value_encoder.fcs.{i}")
+          for i in range(4)}
+    for i in range(3):
+        ve[f"attn{i}"] = _attnblock(sd, f"{pp}.value_encoder.attns.{i}")
+    ppd = {"value_encoder": ve}
+    for i in range(3):
+        ppd[f"attn_a{i}"] = _attnblock(sd, f"{pp}.batch_attention_a.{i}")
+        ppd[f"attn_b{i}"] = _attnblock(sd, f"{pp}.batch_attention_b.{i}")
+        ppd[f"trig{i}"] = _linblock(sd, f"{pp}.trigger_pred.{i}")
+        ppd[f"param{i}"] = _linblock(sd, f"{pp}.params_pred.{i}")
+    emit["param_predictor"] = ppd
+    return {"encoder": enc, "ellipse_predictor": ell,
+            "emit_line_predictor": emit}
+
+
+# ---------------------------------------------------------------------------
+# BE_font (reference models/networks_BE_font.py) transplantation — used by
+# the BE_font trajectory-parity gate (tests/test_parity_trajectory_be_font.py).
+
+def _convblock_bn(sd, prefix):
+    """reference blocks.Conv2d with bn='batch' → flax ConvBlock
+    ({conv: {kernel}, norm: {scale, bias}}, {norm: {mean, var}})."""
+    bn_p, bn_s = _bn(sd, f"{prefix}.conv.1")
+    return ({"conv": {"kernel": _conv(sd[f"{prefix}.conv.0.weight"])},
+             "norm": bn_p}, {"norm": bn_s})
+
+
+def _embeding_block(sd, prefix):
+    """reference networks_BE_font.EmbedingBlock → flax EmbedingBlock params."""
+    p = {"fc0": _linblock(sd, f"{prefix}.convs_first.0"),
+         "fc1": _linblock(sd, f"{prefix}.convs_first.1"),
+         "e0": _linblock(sd, f"{prefix}.embeding.0"),
+         "e1": _linblock(sd, f"{prefix}.embeding.1")}
+    for i in range(3):
+        p[f"attn{i}"] = _attnblock(sd, f"{prefix}.attention.{i}")
+    return p
+
+
+def _style_encode_block(sd, prefix, in_size):
+    """reference networks_BE_font.StyleEncodeBlock → flax StyleEncodeBlock
+    (instance-norm convs carry no norm params; conv bias disabled)."""
+    import math
+
+    repeat_num = int(math.log2(in_size)) - 3
+    p = {"c0": _convblock(sd, f"{prefix}.convs.0", bias=False)}
+    for i in range(repeat_num):
+        p[f"c{i + 1}"] = _convblock(sd, f"{prefix}.convs.{i + 1}", bias=False)
+    p["c_out"] = _convblock(sd, f"{prefix}.convs.{repeat_num + 1}", bias=False)
+    return p
+
+
+def be_font_from_torch(sd: Dict[str, np.ndarray], in_size: int):
+    """reference BE_font ComposeNet (networks_BE_font.py:125-234) state_dict →
+    (params, batch_stats) for models/be_font.ComposeNet.
+
+    The relay FC pair straddles the layout boundary twice: relay0 consumes the
+    flattened bottleneck (torch NCHW channel-major, flax NHWC spatial-major) so
+    its first c*4*4 input rows are permuted; relay1's OUTPUT is reshaped back
+    to a spatial map, so its output columns (and bias) get the same (c,h,w) →
+    (h,w,c) permutation.  relay0-out → relay1-in is an internal latent with no
+    layout meaning and is left untouched."""
+    import math
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    repeat_num = int(math.log2(in_size // 4))
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["down0"] = _convblock(sd, "down.0", bias=False)
+    c = 64
+    for i in range(repeat_num):
+        c = min(c * 2, 512)
+        p0, s0 = _convblock_bn(sd, f"down.{i + 1}.0")
+        params[f"down_blocks_{i}_0"] = p0
+        stats[f"down_blocks_{i}_0"] = s0
+        params[f"down_blocks_{i}_1"] = _convblock(sd, f"down.{i + 1}.1",
+                                                  bias=False)
+
+    params["embeding_block"] = {
+        "label": _embeding_block(sd, "embeding_block.label_encode_block"),
+        "style": _embeding_block(sd, "embeding_block.style_encode_block"),
+    }
+    params["style_encoder"] = {
+        "label": _style_encode_block(sd, "style_encoder.label_encode_block",
+                                     in_size),
+        "style": _style_encode_block(sd, "style_encoder.style_encode_block",
+                                     in_size),
+    }
+
+    relay_in = c * 4 * 4
+    w0 = sd["relay_convs.0.fc.0.weight"]  # (relay_in, relay_in + 512)
+    w0_feat = w0[:, :relay_in].reshape(-1, c, 4, 4)
+    w0_feat = np.transpose(w0_feat, (0, 2, 3, 1)).reshape(-1, relay_in)
+    params["relay0"] = {"fc": {
+        "kernel": _lin(np.concatenate([w0_feat, w0[:, relay_in:]], axis=1)),
+        "bias": np.asarray(sd["relay_convs.0.fc.0.bias"])}}
+    w1 = sd["relay_convs.1.fc.0.weight"]  # (relay_in, relay_in)
+    w1 = w1.reshape(c, 4, 4, -1).transpose(1, 2, 0, 3).reshape(relay_in, -1)
+    b1 = sd["relay_convs.1.fc.0.bias"].reshape(c, 4, 4)
+    params["relay1"] = {"fc": {
+        "kernel": _lin(w1),
+        "bias": np.transpose(b1, (1, 2, 0)).reshape(-1)}}
+
+    for i in range(repeat_num):
+        up_p, up_s = {}, {}
+        for j, name in ((0, "conv1"), (1, "conv2")):
+            pj, sj = _convblock_bn(sd, f"up.{i}.conv.{j}")
+            up_p[name] = pj
+            up_s[name] = sj
+        params[f"ups_{i}"] = up_p
+        stats[f"ups_{i}"] = up_s
+        params[f"skips_{i}"] = _convblock(sd, f"skip.{i}", bias=False)
+        params[f"cats_{i}"] = _convblock(sd, f"cat.{i}", bias=False)
+
+    for head, tpre in (("mask_net", "mask_net"), ("edge_net", "edge_net")):
+        params[head] = {
+            "p0": _convblock(sd, f"{tpre}.predictor.0", bias=False),
+            "p1": _convblock(sd, f"{tpre}.predictor.1", bias=False),
+            "p2": _convblock(sd, f"{tpre}.predictor.2", bias=True)}
+    return params, stats
+
+
+def _be_font_classifier(sd, prefix, in_size):
+    """reference networks_BE_font.Classifier → flax Classifier
+    (params, batch_stats).  cls_convs.0 consumes the flattened 1024-ch conv
+    map before the embed concat — its first 1024*(s/32)^2 input rows are
+    NCHW→NHWC permuted."""
+    p = {"c0": _convblock(sd, f"{prefix}.conv_first", bias=False)}
+    s: Dict = {}
+    for i, bn in enumerate(("instance", "instance", "batch", "batch")):
+        if bn == "batch":
+            pj, sj = _convblock_bn(sd, f"{prefix}.backbone.{i}")
+            p[f"c{i + 1}"] = pj
+            s[f"c{i + 1}"] = sj
+        else:
+            p[f"c{i + 1}"] = _convblock(sd, f"{prefix}.backbone.{i}",
+                                        bias=False)
+    p["embed"] = {
+        "label": _embeding_block(sd, f"{prefix}.embeding_block.label_encode_block"),
+        "style": _embeding_block(sd, f"{prefix}.embeding_block.style_encode_block"),
+    }
+    side = in_size // 32
+    flat = 1024 * side * side
+    w = sd[f"{prefix}.cls_convs.0.fc.0.weight"]
+    w_feat = w[:, :flat].reshape(-1, 1024, side, side)
+    w_feat = np.transpose(w_feat, (0, 2, 3, 1)).reshape(-1, flat)
+    p["fc0"] = {"fc": {
+        "kernel": _lin(np.concatenate([w_feat, w[:, flat:]], axis=1)),
+        "bias": np.asarray(sd[f"{prefix}.cls_convs.0.fc.0.bias"])}}
+    p["fc1"] = _linblock(sd, f"{prefix}.cls_convs.1")
+    p["fc2"] = _linblock(sd, f"{prefix}.cls_convs.2")
+    return p, s
+
+
+def be_font_disc_from_torch(sd: Dict[str, np.ndarray], in_size: int):
+    """reference BE_font Discriminator (networks_BE_font.py:269-278)
+    state_dict → (params, batch_stats) for models/be_font.Discriminator."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("adv_convs", "aux_convs"):
+        p, s = _be_font_classifier(sd, name, in_size)
+        params[name] = p
+        stats[name] = s
+    return params, stats

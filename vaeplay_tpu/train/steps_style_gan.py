@@ -17,6 +17,7 @@ whose companion __main__ smoke block calls constructors with stale signatures
 not reproduced.
 """
 
+import functools
 from typing import Dict
 
 import jax
@@ -50,11 +51,11 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
             {"params": to_compute(params, compute_dtype)},
             to_compute(x, compute_dtype), train=True))
 
-    def G(params, x_content, z, y):
+    def G(params, x_content, z, y, split=None):
         return to_f32(g_model.apply(
             {"params": to_compute(params, compute_dtype)},
             to_compute(x_content, compute_dtype), to_compute(z, compute_dtype),
-            y, train=True))
+            y, train=True, split=split))
 
     def D(params, x, x_content):
         return to_f32(d_model.apply(
@@ -62,7 +63,8 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
             to_compute(x, compute_dtype), to_compute(x_content, compute_dtype),
             train=True))
 
-    def _step(ss: StyleGanState, x_target, x_content, labels, eps, z_sample):
+    def _step(ss: StyleGanState, x_target, x_content, labels, eps, z_sample,
+              split=None):
         e, g, d = ss.e, ss.g, ss.d
 
         # The x_gen branch feeds TWO losses that backprop into G — the
@@ -76,12 +78,12 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
         # for one fewer Generator forward+backward per step (measured bf16
         # 288 → 237 ms/step, f32 429 → 383 at the reference-default bs32).
         x_gen, g_vjp = jax.vjp(
-            lambda gp: G(gp, x_content, z_sample, labels), g.params)
+            lambda gp: G(gp, x_content, z_sample, labels, split), g.params)
 
         def eg_loss(e_params, g_params, x_gen_in):
             mu, logvar = E(e_params, x_target)
             z_enc = eps * jnp.exp(logvar / 2.0) + mu
-            x_rec = G(g_params, x_content, z_enc, labels)
+            x_rec = G(g_params, x_content, z_enc, labels, split)
             rec_valid, rec_type = D(d.params, x_rec, x_content)
             kl = 0.5 * jnp.sum(jnp.exp(logvar) + mu**2 - logvar - 1.0)
             rec_d = (jnp.mean(L.bce(rec_valid, jnp.ones_like(rec_valid)))
@@ -131,18 +133,41 @@ def make_style_gan_train_step(e_model, g_model, d_model, z_dim: int,
                    "d_fake_loss": d_fake}
         return StyleGanState(e=e, g=g, d=d), metrics
 
+    # `split` is a static argument: batches pre-sorted by label may pass a
+    # (k0p, k1p) bucket so the G's gated convs run each branch only on its
+    # sub-batch (MyConv2d docstring); each distinct bucket compiles once.
     if recorded_noise:
-        @jax.jit
+        @functools.partial(jax.jit, static_argnums=(6,))
         def train_step(ss: StyleGanState, x_target, x_content, labels,
-                       eps, z_sample):
-            return _step(ss, x_target, x_content, labels, eps, z_sample)
+                       eps, z_sample, split=None):
+            return _step(ss, x_target, x_content, labels, eps, z_sample, split)
     else:
-        @jax.jit
-        def train_step(ss: StyleGanState, x_target, x_content, labels, rng):
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def train_step(ss: StyleGanState, x_target, x_content, labels, rng,
+                       split=None):
             b = x_target.shape[0]
             rng_eps, rng_z = jax.random.split(rng)
             eps = jax.random.normal(rng_eps, (b, z_dim))
             z_sample = jax.random.normal(rng_z, (b, z_dim))
-            return _step(ss, x_target, x_content, labels, eps, z_sample)
+            return _step(ss, x_target, x_content, labels, eps, z_sample, split)
 
     return train_step
+
+
+def sort_batch_by_label(labels, *arrays, pad: int = 8):
+    """Host-side prep for label-bucketed training: stable-sort the batch
+    rows label-0-first and return the (k0p, k1p) bucket with each branch
+    capacity rounded up to a multiple of `pad` (few distinct buckets → few
+    compiled programs) and capped at B.  Losses in the Style_GAN step are
+    all batch means/sums, so a consistent permutation of every per-sample
+    array leaves the training math unchanged."""
+    import numpy as np
+
+    labels = np.asarray(labels)
+    order = np.argsort(labels, kind="stable")
+    b = labels.shape[0]
+    k0 = int(np.count_nonzero(labels == 0))
+    k0p = min(b, -(-k0 // pad) * pad)
+    k1p = min(b, -(-(b - k0) // pad) * pad)
+    return ([np.asarray(a)[order] for a in arrays], labels[order],
+            (k0p, k1p))
