@@ -39,30 +39,52 @@ def main():
     if args.keys:
         keys = args.keys.split(",")
     else:
-        keys = [k for k in recs[0] if k not in skip
-                and isinstance(recs[0][k], (int, float))]
+        # union numeric keys across ALL records (a metric that first appears
+        # mid-run must not be silently dropped), first-seen order
+        keys, seen = [], set()
+        for r in recs:
+            for k, v in r.items():
+                if (k not in skip and k not in seen
+                        and isinstance(v, (int, float))
+                        and not isinstance(v, bool)):
+                    seen.add(k)
+                    keys.append(k)
 
     n = len(recs)
-    idxs = sorted({round(i * (n - 1) / max(1, args.rows - 1))
-                   for i in range(min(args.rows, n))})
+    k = min(args.rows, n)
+    idxs = sorted({round(i * (n - 1) / max(1, k - 1)) for i in range(k)})
 
     header = ["step"] + (["epoch"] if "epoch" in recs[0] else []) + keys
     print("| " + " | ".join(header) + " |")
     print("|" + "---|" * len(header))
+    def num(v):
+        # coerce missing / null / non-numeric values to nan so a single odd
+        # record cannot crash the table formatting
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) \
+            else float("nan")
+
     for i in idxs:
         r = recs[i]
-        row = [str(r["step"])]
+        row = [str(r.get("step", i))]
         if "epoch" in recs[0]:
             row.append(str(r.get("epoch", "")))
-        row += [f"{r.get(k, float('nan')):.4g}" for k in keys]
+        row += [f"{num(r.get(k)):.4g}" for k in keys]
         print("| " + " | ".join(row) + " |")
 
     print()
-    wall = recs[-1]["ts"] - recs[0]["ts"]
-    print(f"{n} log points, {wall/60:.1f} min logged wall-clock, "
-          f"final step {recs[-1]['step']}.")
+    t0, t1 = recs[0].get("ts"), recs[-1].get("ts")
+    wall = (f"{(t1 - t0)/60:.1f} min logged wall-clock, "
+            if isinstance(t0, (int, float)) and isinstance(t1, (int, float))
+            else "")
+    print(f"{n} log points, {wall}final step {recs[-1].get('step', n - 1)}.")
+
+    def first_last(k):
+        vals = [num(r.get(k)) for r in recs]
+        vals = [v for v in vals if v == v]  # drop nans
+        return (vals[0], vals[-1]) if vals else (None, None)
+
     for k in keys:
-        a, b = recs[0].get(k), recs[-1].get(k)
+        a, b = first_last(k)
         if a is not None and b is not None and a != 0:
             print(f"- `{k}`: {a:.4g} → {b:.4g} ({b/a:.2f}×)")
 
