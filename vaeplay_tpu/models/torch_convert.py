@@ -410,3 +410,84 @@ def be_font_disc_from_torch(sd: Dict[str, np.ndarray], in_size: int):
         params[name] = p
         stats[name] = s
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# BCP (reference models/networks_BCP.py) transplantation — used by the BCP
+# trajectory-parity gate (tests/test_parity_trajectory_bcp.py).
+
+def _linblock_nb(sd, prefix):
+    """reference blocks.Linear(bias=None) → flax DenseBlock {fc: {kernel}}."""
+    return {"fc": {"kernel": _lin(sd[f"{prefix}.fc.0.weight"])}}
+
+
+def bcp_from_torch(sd: Dict[str, np.ndarray], blocks: int = 8,
+                   merged: bool = True):
+    """reference BCP ComposeNet (networks_BCP.py:253-304) state_dict → flax
+    params for models/bcp.ComposeNet (merged encoder layout by default —
+    merge_encoder_params moves the dual-tower kernels 1:1, no transforms).
+
+    ClassPredictor / LinePredictor level counts use the encoder's out_size
+    CONSTANT 128 (networks_BCP.py:63,266), independent of the input size."""
+    import math
+
+    from vaeplay_tpu.models.bcp import merge_encoder_params
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    dual = {}
+    for i in range(blocks):
+        dual[f"a{i}"] = {
+            "c0": _convblock(sd, f"encoder.convs1.{i}.convs.0"),
+            "c1": _convblock(sd, f"encoder.convs1.{i}.convs.1"),
+            "c2": _convblock(sd, f"encoder.convs1.{i}.convs.2"),
+        }
+        dual[f"b{i}"] = {  # instance-norm tower: bias only on the 1x1 c1
+            "c0": _convblock(sd, f"encoder.convs2.{i}.convs.0", bias=False),
+            "c1": _convblock(sd, f"encoder.convs2.{i}.convs.1"),
+            "c2": _convblock(sd, f"encoder.convs2.{i}.convs.2", bias=False),
+        }
+    enc = merge_encoder_params(dual, blocks) if merged else dual
+
+    n_cls = int(math.log2(128)) - 1
+    cls_p = {f"conv{i}": _convblock(sd, f"cls_classifier.convs.{i}")
+             for i in range(n_cls)}
+    for i in range(3):
+        cls_p[f"fc{i}"] = _linblock(sd, f"cls_classifier.cls_convs.{i}")
+
+    lp = {}
+    level = int(math.log(128)) - 1
+    for i in range(level):
+        lp[f"freq{i}"] = _convblock(
+            sd, f"line_predictor.frequency_encode_img.{i}", bias=False)
+    lp["freq_out"] = _convblock(
+        sd, f"line_predictor.frequency_encode_img.{level}")
+    for i in range(3):
+        lp[f"freq_fc{i}"] = _linblock(
+            sd, f"line_predictor.frequency_encode_img_sub.{i}")
+    for i in range(2):
+        lp[f"fh{i}"] = _linblock(sd, f"line_predictor.frequency_head.{i}")
+    for i in range(3):
+        lp[f"pp{i}"] = _linblock(sd, f"line_predictor.params_pred.{i}")
+        lp[f"fp{i}"] = _linblock(sd, f"line_predictor.frequency_pred.{i}")
+    return {"encoder": enc, "cls_classifier": cls_p, "line_predictor": lp}
+
+
+def bcp_disc_from_torch(sd: Dict[str, np.ndarray], image_size: int):
+    """reference BCP Discriminator (networks_BCP.py:306-363) state_dict →
+    flax params for models/bcp.Discriminator."""
+    import math
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    level = int(math.log2(image_size)) - 2 - 1
+    p = {"g0": _convblock(sd, "global_convs.0")}
+    for i in range(1, level):
+        p[f"g{i}"] = _convblock(sd, f"global_convs.{i}", bias=False)
+    p["g_out"] = _convblock(sd, f"global_convs.{level}")
+    for i in range(level):
+        p[f"l{i}a"] = _linblock_nb(sd, f"local_convs.{2 * i}")
+        p[f"l{i}b"] = _linblock_nb(sd, f"local_convs.{2 * i + 1}")
+    p["l_out"] = _linblock_nb(sd, f"local_convs.{2 * level}")
+    for i in range(4):
+        p[f"m{i}"] = _linblock(sd, f"merge_convs.{i}")
+    p["m4"] = _linblock_nb(sd, "merge_convs.4")
+    return p
