@@ -78,7 +78,9 @@ def main(argv=None):
     dv = jit_init(d_model, {"params": jax.random.PRNGKey(args.seed + 1)}, x, m, m)
     g = TrainState.create(
         g_model.apply, gv["params"], gv["batch_stats"],
-        frozen_backbone_adam(args.lr), constants=gv.get("constants"),
+        # G Adam betas (0.5, 0.999) — train_BE_GAN.py:236
+        frozen_backbone_adam(args.lr, (0.5, 0.999)),
+        constants=gv.get("constants"),
     )
     d = TrainState.create(
         d_model.apply, dv["params"], dv["batch_stats"],

@@ -491,3 +491,133 @@ def bcp_disc_from_torch(sd: Dict[str, np.ndarray], image_size: int):
         p[f"m{i}"] = _linblock(sd, f"merge_convs.{i}")
     p["m4"] = _linblock_nb(sd, "merge_convs.4")
     return p
+
+
+# ---------------------------------------------------------------------------
+# BE / BE_GAN (reference models/networks_BE.py, networks_BE_GAN.py)
+# transplantation — used by the BE / BE_GAN trajectory-parity gates.  The
+# torch side is instantiated against tests/torch_fpn_shim.py (this
+# environment has no torchvision wheel); the backbone subtree reuses
+# backbone.convert_torchvision_state_dict on the shim's torchvision-layout
+# state dict.
+
+def _plain(tree):
+    """FrozenDict → mutable plain nested dict (deep copy of the structure)."""
+    import flax
+
+    t = flax.core.unfreeze(tree) if tree is not None else {}
+
+    def rec(x):
+        return {k: rec(v) for k, v in x.items()} if isinstance(x, dict) else x
+
+    return rec(t)
+
+
+def _masknet_from_torch(sd, prefix):
+    """reference MaskNet/EdgeNet (networks_BE.py:39-66, networks_BE_GAN.py:11-37)
+    → flax models/be.MaskNet (params, batch_stats).  pred1-3 are
+    SmallChannelConv3x3S1 blocks holding the SAME canonical (3,3,C,F)
+    kernels as the reference's plain convs (exact-math s2d layout)."""
+    p, s = {}, {}
+    for flax_up, torch_up in (("up1", "conv1"), ("up2", "conv2")):
+        up_p, up_s = {}, {}
+        for j, name in ((0, "conv1"), (1, "conv2")):
+            pj, sj = _convblock_bn(sd, f"{prefix}.{torch_up}.conv.{j}")
+            up_p[name], up_s[name] = pj, sj
+        p[flax_up], s[flax_up] = up_p, up_s
+    for i in range(3):
+        p[f"pred{i + 1}"] = {
+            "kernel": _conv(sd[f"{prefix}.predictor.{i}.conv.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.predictor.{i}.conv.0.bias"])}
+    return p, s
+
+
+def _aux_chain(sd, prefix, repeat):
+    """256→target 1x1/3x3 BN conv chain (networks_BE.py:20-26)."""
+    p, s = {}, {}
+    for i in range(repeat):
+        pa, sa = _convblock_bn(sd, f"{prefix}.{2 * i}")
+        pb, sb = _convblock_bn(sd, f"{prefix}.{2 * i + 1}")
+        p[f"aux{i}a"], s[f"aux{i}a"] = pa, sa
+        p[f"aux{i}b"], s[f"aux{i}b"] = pb, sb
+    return p, s
+
+
+def _fill_backbone(sd, prefix, params, constants):
+    from vaeplay_tpu.models.backbone import convert_torchvision_state_dict
+
+    bb = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    convert_torchvision_state_dict(bb, params, constants)
+
+
+def be_from_torch(sd: Dict[str, np.ndarray], variables):
+    """reference BE ComposeNet (networks_BE.py:68-90) state_dict → (params,
+    batch_stats, constants) for models/be.ComposeNet, starting from
+    freshly-initialized `variables` (the backbone transplant fills a copied
+    tree in place; heads/aux are rebuilt outright)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = _plain(variables["params"])
+    stats = _plain(variables.get("batch_stats"))
+    consts = _plain(variables.get("constants"))
+    _fill_backbone(sd, "feature_net.backbone.",
+                   params["feature_net"]["backbone"],
+                   consts["feature_net"]["backbone"])
+    pa, sa = _aux_chain(sd, "feature_net.aux_convs", 3)  # 256 → 32
+    params["feature_net"].update(pa)
+    stats["feature_net"].update(sa)
+    for head in ("mask_net", "edge_net"):
+        p, s = _masknet_from_torch(sd, head)
+        params[head] = p
+        stats[head] = s
+    return params, stats, consts
+
+
+def be_gan_from_torch(sd: Dict[str, np.ndarray], variables):
+    """reference BE_GAN generator ComposeNet (networks_BE_GAN.py:39-73)
+    state_dict → (params, batch_stats, constants) for models/be_gan.ComposeNet."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = _plain(variables["params"])
+    stats = _plain(variables.get("batch_stats"))
+    consts = _plain(variables.get("constants"))
+    _fill_backbone(sd, "backbone.", params["backbone"], consts["backbone"])
+    pa, sa = _aux_chain(sd, "aux_convs", 2)  # 256 → 64
+    params.update(pa)
+    stats.update(sa)
+    for head in ("mask_net", "edge_net"):
+        p, s = _masknet_from_torch(sd, head)
+        params[head] = p
+        stats[head] = s
+    return params, stats, consts
+
+
+def _maskmapper_from_torch(sd, prefix):
+    """reference MaskMapper (networks_BE_GAN.py:75-114) → flax
+    models/be_gan.MaskMapper (params, batch_stats).  conv0 is the
+    SmallChannelConv3x3S2 s2d stem holding the same canonical kernel."""
+    p = {"conv0": {"kernel": _conv(sd[f"{prefix}.convs.0.conv.0.weight"]),
+                   "bias": np.asarray(sd[f"{prefix}.convs.0.conv.0.bias"])},
+         "conv1": _convblock(sd, f"{prefix}.convs.1")}
+    s = {}
+    idx = 0
+    while f"{prefix}.feat_modules.{idx}.0.conv.0.weight" in sd:
+        pa, sa = _convblock_bn(sd, f"{prefix}.feat_modules.{idx}.0")
+        pb, sb = _convblock_bn(sd, f"{prefix}.feat_modules.{idx}.1")
+        p[f"feat{idx}a"], s[f"feat{idx}a"] = pa, sa
+        p[f"feat{idx}b"], s[f"feat{idx}b"] = pb, sb
+        idx += 1
+    p["pool_conv"] = _convblock(sd, f"{prefix}.pooler.0")
+    return p, s
+
+
+def be_gan_disc_from_torch(sd: Dict[str, np.ndarray]):
+    """reference BE_GAN Discriminator (networks_BE_GAN.py:116-140) state_dict
+    → (params, batch_stats) for models/be_gan.Discriminator."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params, stats = {}, {}
+    for name in ("content_disc", "boundary_disc"):
+        p, s = _maskmapper_from_torch(sd, name)
+        params[name], stats[name] = p, s
+    params["pred0"] = _linblock(sd, "predictor.0")
+    params["pred1"] = _linblock(sd, "predictor.1")
+    params["pred2"] = _linblock_nb(sd, "predictor.2")
+    return params, stats

@@ -103,7 +103,8 @@ def _is_frozen_backbone_path(parts) -> bool:
     return False
 
 
-def frozen_backbone_adam(lr: float, frozen_prefixes=("backbone", "body")) -> optax.GradientTransformation:
+def frozen_backbone_adam(lr: float, betas=(0.9, 0.999),
+                         frozen_prefixes=("backbone", "body")) -> optax.GradientTransformation:
     """Adam everywhere except params whose path contains the torchvision
     frozen stem ("conv1"/"bn1") or "layer1" under the backbone body."""
 
@@ -112,7 +113,8 @@ def frozen_backbone_adam(lr: float, frozen_prefixes=("backbone", "body")) -> opt
         return "frozen" if _is_frozen_backbone_path(parts) else "train"
 
     return path_labeled_transform(
-        label, {"train": torch_adam(lr), "frozen": optax.set_to_zero()}, None
+        label, {"train": torch_adam(lr, betas), "frozen": optax.set_to_zero()},
+        None,
     )
 
 
