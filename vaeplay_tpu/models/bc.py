@@ -213,7 +213,11 @@ def resample_feature_batched(
     # dtype contract), but BC's point path deliberately keeps the attention
     # stack + losses in f32 under amp (only the two RefineNet FCs run bf16 —
     # see RefineNet docstring), so upcast at the boundary.
-    sampled = point_sample_ng(feature, grid, True, "bicubic").astype(jnp.float32)
+    # align_corners=False: the reference's grid_sample call leaves the torch
+    # default (networks_BC.py:68) even though its (w-1)/2 normalization reads
+    # like the align_corners=True convention — caught by
+    # tests/test_parity_trajectory_bc.py::test_transplant_forward_parity.
+    sampled = point_sample_ng(feature, grid, False, "bicubic").astype(jnp.float32)
     valid = (jnp.arange(pts.shape[1])[None, :] < counts[:, None])
     return sampled * valid[..., None].astype(sampled.dtype)
 

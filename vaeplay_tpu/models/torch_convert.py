@@ -621,3 +621,54 @@ def be_gan_disc_from_torch(sd: Dict[str, np.ndarray]):
     params["pred1"] = _linblock(sd, "predictor.1")
     params["pred2"] = _linblock_nb(sd, "predictor.2")
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# BC (reference models/networks_BC.py) transplantation — used by the BC
+# trajectory-parity gate (tests/test_parity_trajectory_bc.py).
+
+def bc_from_torch(sd: Dict[str, np.ndarray], variables):
+    """reference BC ComposeNet (networks_BC.py:178-241) state_dict →
+    (params, batch_stats, constants) for models/bc.ComposeNet.
+
+    MaskNet p1/p2 and the EdgeNet stack are the exact-math layout rewrites
+    (SmallChannelConv3x3S1 / OneChannelConv3x3) holding the SAME canonical
+    kernels; the RefineNet FC flattening is (point, feat)-major on both
+    sides, so fc kernels transplant with a plain transpose."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = _plain(variables["params"])
+    stats = _plain(variables.get("batch_stats"))
+    consts = _plain(variables.get("constants"))
+    _fill_backbone(sd, "feature_net.feature.",
+                   params["feature_net"]["feature"],
+                   consts["feature_net"]["feature"])
+
+    def raw_conv(prefix):
+        return {"kernel": _conv(sd[f"{prefix}.conv.0.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.conv.0.bias"])}
+
+    mn, mns = {}, {}
+    for flax_name, tname in (("c1a", "conv1.0"), ("c1b", "conv1.1"),
+                             ("c1c", "conv1.2"), ("c2a", "conv2.0"),
+                             ("c2b", "conv2.1")):
+        p_, s_ = _convblock_bn(sd, f"mask_net.{tname}")
+        mn[flax_name], mns[flax_name] = p_, s_
+    for i in range(2):
+        mn[f"p{i + 1}"] = raw_conv(f"mask_net.predictor.{i}")
+    params["mask_net"], stats["mask_net"] = mn, mns
+
+    en = {}
+    for i in range(3):
+        en[f"c{i}"] = raw_conv(f"edge_net.conv1.{i}")
+    for i in range(2):
+        en[f"p{i}"] = raw_conv(f"edge_net.predictor.{i}")
+    params["edge_net"] = en
+
+    rn = {f"attn{i}": _attnblock(sd, f"refine_net.deform_blocks.{i}")
+          for i in range(6)}
+    for i in range(2):  # plain nn.Linear pair (networks_BC.py:160-163)
+        rn[f"fc{i}"] = {
+            "kernel": _lin(sd[f"refine_net.fc_blocks.{i}.weight"]),
+            "bias": np.asarray(sd[f"refine_net.fc_blocks.{i}.bias"])}
+    params["refine_net"] = rn
+    return params, stats, consts
