@@ -98,6 +98,9 @@ def main(argv=None):
     step = make_be_gan_train_step(g_model, d_model,
                                   compute_dtype=resolve_dtype(args.dtype))  # two-program split
     astep = accumulating(step, fuse=False)
+    from vaeplay_tpu.train.steps_be import make_be_eval_step
+
+    eval_step = make_be_eval_step(g_model)
     ckpt = Checkpointer(args.model_output)
     mlog = MetricsLogger(args.model_output)
 
@@ -143,6 +146,10 @@ def main(argv=None):
                     f"{k}={avg[k]:.6f}" for k in AVG_KEYS))
                 mlog.log(epoch * args.iterations + i + 1,
                          {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
+                # reference grid idiom (train_BE_GAN.py:186 save_test_batch)
+                preds = eval_step(gs.g, imgs)
+                save_test_batch(imgs, preds, args.res_output,
+                                f"{epoch}_{i + 1}_wgtm")
         # full GanState: G and D params AND both optimizer states
         save_state(ckpt, epoch, gs)
         print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
