@@ -17,7 +17,11 @@ MP = 64
 
 @pytest.fixture(scope="module")
 def bc_state():
-    model = ComposeNet(max_points=MP)
+    # slim backbone for the fast tier: what these tests gate is the
+    # contour-bridge/step STRUCTURE; the full resnet50 topology is
+    # covered by the slow-tier trajectory gate (test_parity_trajectory_bc)
+    model = ComposeNet(max_points=MP, backbone_layers=(1, 1, 1, 1),
+                       backbone_width=16)
     x = jnp.zeros((1, IMG, IMG, 3))
     variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, x)
     state = TrainState.create(
@@ -154,6 +158,7 @@ def test_bc_external_bridge_train_step(bc_state):
     assert int(state2.step) == int(state.step) + 1
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_bc_dp_tp_sharded_step(eight_devices):
     """BC under a 4x2 (data x model) mesh: the RefineNet FC kernel — 545M
     params at the reference 256-pt capacity, the reason round 1 ran at half

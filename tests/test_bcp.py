@@ -19,7 +19,10 @@ P = 128
 
 @pytest.fixture(scope="module")
 def bcp_state():
-    g_model = ComposeNet(image_size=IMG, pt_size=P)
+    # slim encoder for the fast tier (the reference 8-block dual-tower
+    # depth is covered by the slow-tier trajectory gate
+    # test_parity_trajectory_bcp and by test_merged_encoder_matches_dual_towers)
+    g_model = ComposeNet(image_size=IMG, pt_size=P, encoder_blocks=4)
     d_model = Discriminator(image_size=IMG, pt_size=P)
     x = jnp.zeros((1, IMG, IMG, 3))
     cnt = jnp.zeros((1, P, 2))
@@ -86,6 +89,7 @@ def test_bcp_gan_step(bcp_state):
     assert np.abs(d_after - d_before).max() > 0
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_shared_vjp_step_matches_two_pass(bcp_state):
     """The fused step linearizes G once (jax.vjp) and reuses the forward for
     both the D phase's fake targets and the G phase's pullback — the

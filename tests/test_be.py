@@ -14,7 +14,9 @@ from vaeplay_tpu.train.steps_be import make_be_train_step
 
 @pytest.fixture(scope="module")
 def be_state():
-    model = ComposeNet()
+    # slim backbone for the fast tier (full topology: slow-tier
+    # trajectory gate test_parity_trajectory_be)
+    model = ComposeNet(backbone_layers=(1, 1, 1, 1), backbone_width=16)
     x = jnp.zeros((1, 64, 64, 3))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
     tx = frozen_backbone_adam(1e-4)
@@ -150,3 +152,27 @@ def test_frozen_gradient_cut_preserves_updates(be_state, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(float(m1["loss_mask"]), float(m2["loss_mask"]),
                                rtol=0, atol=0)
+
+
+def test_device_bubble_render_matches_host():
+    """render_bubble_batch (device-side, feeds the --scan_steps training
+    path) matches SyntheticBubbleDataset.sample_batch on the same rng
+    stream.  Boundary pixels may quantize differently (the host renderer's
+    distance test runs in float64, the device one in float32), so masks
+    must agree everywhere except a thin boundary set."""
+    import numpy as np
+
+    from vaeplay_tpu.data.be_data import (
+        SyntheticBubbleDataset, render_bubble_batch, sample_bubble_params)
+
+    n, b = 64, 4
+    host = SyntheticBubbleDataset(img_size=n, seed=3).sample_batch(
+        b, batch_seed=17)
+    params, labels = sample_bubble_params(n, b, seed=3, batch_seed=17)
+    np.testing.assert_array_equal(labels, host["labels"])
+    imgs, bimgs, eimgs = render_bubble_batch(n, jnp.asarray(params))
+    for dev, ref in ((bimgs, host["bimgs"]), (eimgs, host["eimgs"])):
+        diff = np.asarray(dev) != ref
+        assert diff.mean() < 2e-3, diff.mean()  # f32-vs-f64 boundary pixels
+    agree = np.isclose(np.asarray(imgs), host["imgs"]).mean()
+    assert agree > 1 - 2e-3, agree

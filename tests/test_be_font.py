@@ -12,7 +12,8 @@ from vaeplay_tpu.train.steps_be_font import (
 )
 from vaeplay_tpu.utils.jitting import jit_init
 
-IMG = 64
+IMG = 32  # fast tier; the reference 64px model is covered by
+          # the slow-tier trajectory gate (test_parity_trajectory_be_font)
 
 
 @pytest.fixture(scope="module")

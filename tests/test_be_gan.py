@@ -16,7 +16,9 @@ IMG = 128
 
 @pytest.fixture(scope="module")
 def gan_state():
-    g_model = ComposeNet()
+    # slim backbone for the fast tier (full topology: slow-tier
+    # trajectory gate test_parity_trajectory_be_gan)
+    g_model = ComposeNet(backbone_layers=(1, 1, 1, 1), backbone_width=16)
     d_model = Discriminator(in_size=IMG, num_classes=4)
     x = jnp.zeros((1, IMG, IMG, 3))
     m = jnp.zeros((1, IMG, IMG, 1))

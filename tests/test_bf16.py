@@ -3,11 +3,14 @@ policy (utils/amp.py — master params/opt/BN stats/losses f32) must track the
 f32 trajectories within tolerance over several steps (SURVEY.md §7 bullet d).
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_vae_bf16_trajectory_tracks_f32():
     from vaeplay_tpu.data.circles import CircleDataset
     from vaeplay_tpu.models.vae_gan import VaeGan

@@ -174,3 +174,25 @@ def test_ellipse_pt_loss_parity(ref_ops):
                                float(expected["trig_loss"]), rtol=1e-4)
     np.testing.assert_allclose(float(got["param_loss"]),
                                float(expected["param_loss"]), rtol=1e-4)
+
+
+def test_bce_saturated_probs_match_torch_clamp():
+    """p ∈ {0, 1}: torch clamps log terms at -100 and never NaNs — the
+    rebuild must survive a saturated discriminator the same way (round-5
+    real-chip Style_GAN regression: `1.0 - eps == 1.0` in f32 made the old
+    prob-clip a no-op and 0*log(0) NaN'd the GAN)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vaeplay_tpu.ops import losses as L
+
+    p = np.array([0.0, 1.0, 0.5, 1.0, 0.0], np.float32)
+    t = np.array([1.0, 0.0, 1.0, 1.0, 0.0], np.float32)
+    ref = F.binary_cross_entropy(torch.tensor(p), torch.tensor(t),
+                                 reduction="none").numpy()
+    got = np.asarray(L.bce(p, t))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-6)

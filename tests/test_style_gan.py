@@ -215,6 +215,7 @@ def test_bucketed_generator_matches_blended(sg_state, k0, split):
     jax.tree_util.tree_map_with_path(cmp, gb, gs)
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_bucketed_train_step_matches_blended(sg_state):
     """FOUR full fused train steps with split=(k0p,k1p) on sorted batches
     must produce the same loss curves as the blended step (recorded noise).

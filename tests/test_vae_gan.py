@@ -56,6 +56,7 @@ def test_forward_shapes():
     assert float(jnp.min(disc_class)) >= 0.0 and float(jnp.max(disc_class)) <= 1.0
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_train_step_decreases_recon():
     model, state = make_state()
     step = make_train_step(model)
@@ -102,6 +103,7 @@ def test_grads_flow_to_all_groups():
         assert float(gnorm) > 0.0, f"no gradient reached {group}"
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_dp_sharded_step(eight_devices):
     """The fused step runs under an 8-way data-parallel mesh (virtual CPU)."""
     model, state = make_state(batch=8)
@@ -122,6 +124,7 @@ def test_dp_sharded_step(eight_devices):
     assert enc_leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow  # heavy full-model run; fast-tier budget (round-5 VERDICT item 6)
 def test_tp_sharded_trajectory_matches_replicated(eight_devices):
     """Tensor-parallel kernel sharding (the --mesh DxM CLI path) must follow
     the replicated loss trajectory — 3 steps on a dp4 x tp2 mesh with the

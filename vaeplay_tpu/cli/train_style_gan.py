@@ -51,6 +51,16 @@ def main(argv=None):
                              "master params/opt state/BN stats/losses stay f32")
     parser.add_argument("--resume", type=str, dest="resume", default=None,
                         help="run dir of a previous checkpoint to resume from")
+    parser.add_argument("--scan_steps", type=int, dest="scan_steps", default=1,
+                        help="run N train iterations per dispatched program "
+                             "as a lax.scan (synthetic data only): the state "
+                             "is the scan carry so only ONE copy lives in "
+                             "HBM (per-dispatch stepping holds old+new ~2x "
+                             "state, which OOMs the 256px z512 bs32 "
+                             "reference workload on one v5e), the ~8-40 ms "
+                             "tunnel latency amortizes N-fold, and batches "
+                             "upload as (B,5) bubble params rendered "
+                             "on-device instead of rasterized images")
     parser.add_argument("--label_bucketing", dest="label_bucketing",
                         default=True, action=argparse.BooleanOptionalAction,
                         help="sort each batch by label and run each gated-conv "
@@ -97,12 +107,21 @@ def main(argv=None):
     # gate formula is binary — restrict to 1 device / 2 classes.
     bucketing = (args.label_bucketing and args.num_of_classes == 2
                  and mesh.devices.size == 1)
-    bucket_pad = max(1, args.batchsize // 4)
+    bucket_pad = max(1, args.batchsize // 2)
+    # HBM hazard (measured on the chip, round 5): every distinct (k0p, k1p)
+    # bucket is a separately compiled program, and the axon runtime keeps
+    # each executable's workspace resident — the round-4 batchsize/4
+    # bucketing compiled ~9 programs over 100 random batches of the
+    # reference 256px bs32 bf16 workload and OOMed HBM.  Only the exact
+    # half-split program (the one whose 216.34 ms/step win is recorded in
+    # BENCH_FAMILIES.md) is allowed to compile; batches that don't round to
+    # it take the blended program.  Total resident programs: 2.
+    allowed_split = (args.batchsize // 2, args.batchsize // 2)
     _asteps = {}
 
     def astep_for(split):
-        # one accumulating program per (k0p, k1p) bucket; buckets are padded
-        # to multiples of batchsize/4 so only a handful ever compile
+        if split is not None and split != allowed_split:
+            split = None  # blended fallback — see HBM hazard note above
         if split not in _asteps:
             if split is None:
                 _asteps[split] = accumulating(step)
@@ -122,6 +141,54 @@ def main(argv=None):
         print("no --path given; using the synthetic bubble dataset")
         dset = SyntheticBubbleDataset(
             img_size=args.img_size, data_size=args.iterations * args.batchsize)
+
+    if args.scan_steps > 1 and not args.path:
+        import functools
+
+        from vaeplay_tpu.data.be_data import (
+            render_bubble_batch, sample_bubble_params)
+        from vaeplay_tpu.train.metrics import fetch_averages as _fa  # noqa
+
+        K = args.scan_steps
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def chunk_step(ss, pparams, plabels, rngs):
+            def body(s, xs):
+                pp, lb, r = xs
+                imgs, bimgs, _ = render_bubble_batch(args.img_size, pp)
+                s, m = step(s, imgs, jnp.repeat(bimgs, 3, axis=-1), lb, r)
+                return s, m
+
+            ss, ms = jax.lax.scan(body, ss, (pparams, plabels, rngs))
+            return ss, jax.tree_util.tree_map(lambda a: jnp.sum(a, 0), ms)
+
+        acc_add = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+        for epoch in range(start_epoch, args.epochs):
+            acc, cnt = None, 0
+            for c in range(args.iterations // K):
+                pp = np.zeros((K, args.batchsize, 5), np.float32)
+                lb = np.zeros((K, args.batchsize), np.int64)
+                for k in range(K):
+                    pp[k], raw = sample_bubble_params(
+                        args.img_size, args.batchsize,
+                        seed=args.seed, batch_seed=epoch * 100003 + c * K + k)
+                    lb[k] = raw % args.num_of_classes
+                rng, *subs = jax.random.split(rng, K + 1)
+                ss, msum = chunk_step(ss, jnp.asarray(pp), jnp.asarray(lb),
+                                      jnp.stack(subs))
+                acc = msum if acc is None else acc_add(acc, msum)
+                cnt += K
+                done = (c + 1) * K
+                if done % args.viz_freq < K:
+                    avg = fetch_averages(acc, jnp.asarray(float(cnt)))
+                    print(" ".join(f"{k}={avg[k]:.6f}" for k in AVG_KEYS),
+                          flush=True)
+                    mlog.log(epoch * args.iterations + done,
+                             {k: avg[k] for k in AVG_KEYS}, epoch=epoch)
+            save_state(ckpt, epoch, ss)
+            print(f"epoch {epoch} checkpoint → {ckpt.path(epoch)}")
+        return
 
     for epoch in range(start_epoch, args.epochs):
         it = epoch_iterator(dset, args.batchsize, epoch, workers=args.workers)

@@ -130,3 +130,49 @@ class SyntheticBubbleDataset:
     def epoch_batches(self, batch_size: int, seed: int = 0) -> Iterator[dict]:
         for b in range(self.data_size // batch_size):
             yield self.sample_batch(batch_size, batch_seed=seed * 10_000 + b)
+
+
+def sample_bubble_params(img_size: int, batch_size: int, seed: int = 0,
+                         batch_seed: int = 0):
+    """The parametric form of `SyntheticBubbleDataset.sample_batch`: the same
+    rng stream, but returning (params (B, 5) [cx, cy, rx, ry, gray] float32,
+    labels (B,) int64) instead of rasterized images.  Rasterize on DEVICE with
+    `render_bubble_batch` — a batch is then a ~20-byte-per-sample host→device
+    transfer instead of ~1.5 MB, which removes the tunnel-upload bottleneck
+    from sustained training runs (the circle VAE family's data-on-device
+    design, applied to the bubble families)."""
+    import numpy as np
+
+    rng = np.random.default_rng((seed, batch_seed))
+    labels = rng.integers(1, 4, size=batch_size)
+    params = np.zeros((batch_size, 5), np.float32)
+    for i in range(batch_size):
+        cx, cy = rng.uniform(0.3 * img_size, 0.7 * img_size, size=2)
+        rx, ry = rng.uniform(0.15 * img_size, 0.3 * img_size, size=2)
+        params[i] = (cx, cy, rx, ry, rng.uniform(0.0, 0.4))
+    return params, labels.astype(np.int64)
+
+
+def render_bubble_batch(img_size: int, params):
+    """jax-side rasterizer matching `SyntheticBubbleDataset.sample_batch`
+    exactly (same float32 distance test): params (B, 5) → (imgs (B,N,N,3),
+    bimgs (B,N,N,1), eimgs (B,N,N,1)).  Equivalence:
+    tests/test_be.py::test_device_bubble_render_matches_host."""
+    import jax.numpy as jnp
+
+    n = img_size
+    yy = jnp.arange(n, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(n, dtype=jnp.float32)[None, :]
+    cx = params[:, 0][:, None, None]
+    cy = params[:, 1][:, None, None]
+    rx = params[:, 2][:, None, None]
+    ry = params[:, 3][:, None, None]
+    gray = params[:, 4][:, None, None]
+    d = ((xx[None] - cx) / rx) ** 2 + ((yy[None] - cy) / ry) ** 2
+    inside = d <= 1.0
+    ring = inside & (d >= 0.75)
+    img1 = jnp.where(ring, 0.0, jnp.where(inside, gray, 1.0))
+    imgs = jnp.repeat(img1[..., None], 3, axis=-1)
+    bimgs = inside.astype(jnp.float32)[..., None]
+    eimgs = ring.astype(jnp.float32)[..., None]
+    return imgs, bimgs, eimgs

@@ -30,9 +30,21 @@ def sigmoid_bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.nd
 
 
 def bce(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Elementwise BCE on probabilities (= torch F.binary_cross_entropy)."""
-    probs = jnp.clip(probs, eps, 1.0 - eps)
-    return -(targets * jnp.log(probs) + (1.0 - targets) * jnp.log(1.0 - probs))
+    """Elementwise BCE on probabilities (= torch F.binary_cross_entropy,
+    including its log-clamp at -100).
+
+    The former `clip(probs, eps, 1 - eps)` guard was a silent no-op on the
+    saturated-high side — `1.0 - 1e-12` rounds to exactly 1.0 in f32 — so a
+    discriminator output saturating to 1.0 (one bf16 sigmoid step past ~8)
+    produced `0 * log(0) = NaN` and killed GAN training, where the reference
+    survives on clamped -100 terms (caught by the round-5 real-chip
+    Style_GAN run: D won, saturated, and every loss went NaN at step ~17).
+    torch clamps the LOG values at -100, which also zeroes the gradient of a
+    fully-saturated term exactly as torch does."""
+    del eps  # kept for call-site compatibility; torch clamps logs, not probs
+    lp = jnp.maximum(jnp.log(probs), -100.0)
+    ln = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+    return -(targets * lp + (1.0 - targets) * ln)
 
 
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

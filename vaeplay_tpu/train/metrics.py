@@ -6,6 +6,7 @@ dominate a ~2ms train step).  `accumulating(step)` folds `acc += metrics` into
 the compiled step so the host only fetches scalars at logging boundaries.
 """
 
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -22,11 +23,17 @@ def accumulating(step_fn: Callable, fuse: bool = True) -> Callable:
     memory-split GAN phases) — the accumulation then runs as its own tiny
     jitted add."""
 
-    @jax.jit
+    # donate_argnums: the caller always rebinds (state, acc, count) to the
+    # returns, so XLA may alias the buffers — without this every dispatch
+    # holds OLD + NEW state simultaneously (~2x params + optimizer state in
+    # HBM; the Style_GAN reference workload OOMed a v5e chip exactly this
+    # way — scan-carried benches never see it).  XLA:CPU ignores donation,
+    # so the CPU test suite is unaffected.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _acc(acc, count, metrics):
         return jax.tree_util.tree_map(jnp.add, acc, metrics), count + 1
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def wrapped(state, acc, count, *args):
         state, metrics = step_fn(state, *args)
         acc = jax.tree_util.tree_map(jnp.add, acc, metrics)

@@ -7,6 +7,8 @@ Adam(lr) with StepLR(10, 0.5) handled by the CLI's schedule; backbone
 stem/layer1 frozen (torchvision trainable_layers=3).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 

@@ -13,6 +13,8 @@ gradients, equivalence-gated by
 tests/test_bcp.py::test_shared_vjp_step_matches_two_pass).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -6,6 +6,8 @@ optimized with Adam(lr) over every parameter except the torchvision-frozen
 backbone stem/layer1 (resnet_fpn_backbone trainable_layers=3 default).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 

@@ -16,6 +16,8 @@ run inside one jit program.
 
 from typing import Any
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax

@@ -17,6 +17,8 @@ order as the reference's sequential torch calls.
 
 from typing import Any, Dict
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -9,6 +9,8 @@ Both phases fuse into ONE jit program here: grad/update, then grad/update on
 the updated params, matching the sequential optimizer semantics exactly.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
