@@ -196,3 +196,28 @@ def test_bce_saturated_probs_match_torch_clamp():
     got = np.asarray(L.bce(p, t))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_bce_saturated_grad_matches_torch_clamped_backward():
+    """torch BCELoss backward = (p - t) / max(p(1-p), 1e-12): bounded at
+    saturation where plain autodiff reaches 1/p ≈ 1e38 and overflows the
+    downstream accumulations (the round-5 Style_GAN D-optimizer NaN)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from vaeplay_tpu.ops import losses as L
+
+    p = np.array([1e-38, 0.0, 1.0, 0.3, 1.0 - 6e-8], np.float32)
+    t = np.array([1.0, 1.0, 0.0, 1.0, 0.0], np.float32)
+    tp = torch.tensor(p, requires_grad=True)
+    F.binary_cross_entropy(tp, torch.tensor(t), reduction="sum").backward()
+    ref = tp.grad.numpy()
+    got = np.asarray(jax.grad(lambda q: jnp.sum(L.bce(q, jnp.asarray(t))))(
+        jnp.asarray(p)))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-5)

@@ -29,22 +29,51 @@ def sigmoid_bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.nd
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def bce(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Elementwise BCE on probabilities (= torch F.binary_cross_entropy,
-    including its log-clamp at -100).
-
-    The former `clip(probs, eps, 1 - eps)` guard was a silent no-op on the
-    saturated-high side — `1.0 - 1e-12` rounds to exactly 1.0 in f32 — so a
-    discriminator output saturating to 1.0 (one bf16 sigmoid step past ~8)
-    produced `0 * log(0) = NaN` and killed GAN training, where the reference
-    survives on clamped -100 terms (caught by the round-5 real-chip
-    Style_GAN run: D won, saturated, and every loss went NaN at step ~17).
-    torch clamps the LOG values at -100, which also zeroes the gradient of a
-    fully-saturated term exactly as torch does."""
-    del eps  # kept for call-site compatibility; torch clamps logs, not probs
+@jax.custom_vjp
+def _bce_clamped(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     lp = jnp.maximum(jnp.log(probs), -100.0)
     ln = jnp.maximum(jnp.log(1.0 - probs), -100.0)
     return -(targets * lp + (1.0 - targets) * ln)
+
+
+def _bce_fwd(probs, targets):
+    return _bce_clamped(probs, targets), (probs, targets)
+
+
+def _bce_bwd(res, g):
+    probs, targets = res
+    # torch BCELoss backward: (p - t) / max(p * (1 - p), 1e-12) — the
+    # clamped denominator bounds the prob-space gradient at ~1e12 where a
+    # saturated p (one bf16 sigmoid step past ~6 quantizes to exactly
+    # 0.0/1.0, and p near the f32 min-normal gives 1/p ≈ 1e38) would
+    # otherwise overflow the backward's conv/weight accumulations to
+    # inf → NaN.  This is what poisoned the Style_GAN D optimizer on the
+    # round-5 real-chip run once D saturated; torch's reference trainer
+    # survives the same regime because of exactly this clamp.
+    d_p = g * (probs - targets) / jnp.maximum(probs * (1.0 - probs), 1e-12)
+    lp = jnp.maximum(jnp.log(probs), -100.0)
+    ln = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+    d_t = g * (ln - lp)
+    return d_p, d_t
+
+
+_bce_clamped.defvjp(_bce_fwd, _bce_bwd)
+
+
+def bce(probs: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Elementwise BCE on probabilities (= torch F.binary_cross_entropy:
+    log terms clamped at -100, backward denominator clamped at 1e-12).
+
+    The original `clip(probs, eps, 1 - eps)` guard was a silent no-op on the
+    saturated-high side — `1.0 - 1e-12` rounds to exactly 1.0 in f32 — so a
+    discriminator output saturating to 1.0 produced `0 * log(0) = NaN`; and
+    plain autodiff of the clamped-log forward still yields 1/p-scale (1e38)
+    cotangents that overflow downstream bf16/f32 accumulations.  Both
+    failure modes are fixed by reproducing torch's forward AND backward
+    clamps (custom_vjp above); regression-gated by
+    tests/test_parity_losses.py::test_bce_saturated_{probs,grad}_match_torch*."""
+    del eps  # kept for call-site compatibility; torch clamps logs, not probs
+    return _bce_clamped(probs, targets)
 
 
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
