@@ -118,7 +118,9 @@ def test_be_bf16_step_finite_and_f32_state():
     from vaeplay_tpu.utils.jitting import jit_init
 
     img = 64
-    model = ComposeNet()
+    # slim backbone: the amp POLICY (bf16 FLOPs, f32 master state) is what is
+    # under test; full-depth numerics are covered by the slow tier
+    model = ComposeNet(backbone_layers=(1, 1, 1, 1), backbone_width=16)
     v = jit_init(model, {"params": jax.random.PRNGKey(0)},
                  jnp.zeros((1, img, img, 3)))
     state = TrainState.create(model.apply, v["params"], v["batch_stats"],
