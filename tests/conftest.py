@@ -57,6 +57,8 @@ def reference_torch_env():
     every later test in the process)."""
     import os
 
+    import sys
+
     torch = pytest.importorskip("torch")
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference not mounted")
@@ -65,3 +67,19 @@ def reference_torch_env():
         mp.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
         mp.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
         yield mp
+    # Drop the reference's imported modules so a LATER gate module's
+    # `import models.networks_*` re-imports against its own sys.path patch —
+    # the cached `models`/`tools` packages otherwise resolve submodule
+    # imports after the path prepend is unwound and fail (seen as
+    # ImportErrors when several trajectory gates run in one process).
+    for name in [n for n, m in list(sys.modules.items())
+                 if (getattr(m, "__file__", "") or "").startswith("/root/reference")]:
+        del sys.modules[name]
+    # ...and the per-module cv2/skimage/torchvision STUBS (none of these
+    # packages is actually installed here): each gate installs the stub
+    # surface ITS reference files need, so a leftover stub from one module
+    # (e.g. BE_font's torchvision without resnet50) breaks the next gate's
+    # imports.
+    for name in [n for n in list(sys.modules)
+                 if n.split(".")[0] in ("cv2", "rdp", "skimage", "torchvision")]:
+        del sys.modules[name]
