@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from vaeplay_tpu.core.layers import (
     ConvBlock, ConvTransposeBlock, DenseBlock, SCSEBlock,
+    SmallChannelConv3x3S1, depth_to_space, space_to_depth,
 )
 
 IMAGE_CHANNEL = 3
@@ -167,10 +168,17 @@ class Generator(nn.Module):
 
         y = ConvTransposeBlock(32, 4, stride=2, padding=1, output_padding=0,
                                name="final_up")(up3)
-        y = ConvBlock(32, 3, name="final_c0")(y, train=train)
-        y = ConvBlock(32, 3, name="final_c1")(y, train=train)
-        y = ConvBlock(IMAGE_CHANNEL, 3, activate=None, name="final_c2")(y, train=train)
-        return nn.tanh(y)
+        # full-resolution 32→32→32→3 tanh head in the space-to-depth(2)
+        # domain: same canonical kernels (core/layers.SmallChannelConv3x3S1),
+        # 4x the lane occupancy — measured 20.8 → 15.0 ms fwd+bwd per G
+        # branch at the reference 256px bs32 bf16 workload
+        # (tools/probe_style_decoder.py round-5 follow-up)
+        z = space_to_depth(y, 2)
+        z = SmallChannelConv3x3S1(32, block=2, name="final_c0")(z, train=train)
+        z = SmallChannelConv3x3S1(32, block=2, name="final_c1")(z, train=train)
+        z = SmallChannelConv3x3S1(IMAGE_CHANNEL, block=2, activate=None,
+                                  name="final_c2")(z, train=train)
+        return nn.tanh(depth_to_space(z, 2))
 
 
 class Discriminator(nn.Module):

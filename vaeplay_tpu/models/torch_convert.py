@@ -183,9 +183,14 @@ def style_generator_from_torch(sd: Dict[str, np.ndarray]):
         "conv1": _myconv(sd, "conv1"),
         "conv2": _myconv(sd, "conv2"),
         "final_up": _convt(sd, "final.0"),
-        "final_c0": _convblock(sd, "final.1"),
-        "final_c1": _convblock(sd, "final.2"),
-        "final_c2": _convblock(sd, "final.3"),
+        # s2d final head (SmallChannelConv3x3S1): same canonical kernels,
+        # flat {kernel, bias} layout
+        "final_c0": {"kernel": _conv(sd["final.1.conv.0.weight"]),
+                     "bias": np.asarray(sd["final.1.conv.0.bias"])},
+        "final_c1": {"kernel": _conv(sd["final.2.conv.0.weight"]),
+                     "bias": np.asarray(sd["final.2.conv.0.bias"])},
+        "final_c2": {"kernel": _conv(sd["final.3.conv.0.weight"]),
+                     "bias": np.asarray(sd["final.3.conv.0.bias"])},
     }
     for i in (1, 2, 3, 4):
         p[f"down{i}"] = _myconv(sd, f"down{i}", bias=False)  # instance norm
